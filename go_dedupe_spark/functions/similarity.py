@@ -1,0 +1,177 @@
+"""Pairwise similarity scorers.
+
+The reference outsources ALL similarity to an external embedding model
+plus L2 kNN (embeddings/ollama.go:86-113 + vector/sqlite.go:368-437).
+Per north_star this engine replaces that with three local, deterministic,
+vectorized scorers:
+
+- Jaro-Winkler on paths           (pandas UDF, Arrow-batched numpy/python)
+- token-shingle Jaccard on content (native Columns where possible,
+                                    pandas UDF for the batched pair path)
+- cosine over hashed n-gram vectors (pandas UDF, numpy batched —
+                                    HashingTF-style, no model service)
+
+No per-row Python anywhere: the UDFs are ``pandas_udf`` (Arrow batches).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+# ---------------------------------------------------------------- tokenizers
+
+
+def word_tokens(col: Column | str, lowercase: bool = True) -> Column:
+    """Whitespace/punct word tokens as a native Column (no UDF)."""
+    c = F.col(col) if isinstance(col, str) else col
+    if lowercase:
+        c = F.lower(c)
+    toks = F.split(c, r"[^a-z0-9_]+" if lowercase else r"[^A-Za-z0-9_]+")
+    return F.filter(toks, lambda t: t != "")
+
+
+def char_ngrams(colname: str, n: int = 3) -> Column:
+    """Character n-gram shingles of a string column, as a native Column
+    (sequence+transform+substring — stays in whole-stage codegen)."""
+    return F.expr(
+        f"CASE WHEN length({colname}) < {n} THEN array({colname}) "
+        f"ELSE transform(sequence(1, length({colname}) - {n} + 1), "
+        f"i -> substring({colname}, i, {n})) END"
+    )
+
+
+# ------------------------------------------------------------- Jaro-Winkler
+
+
+def _jaro_winkler(s1: str, s2: str) -> float:
+    """Standard Jaro-Winkler similarity.
+
+    Matches DuckDB's ``jaro_winkler_similarity`` (verified in
+    tests/test_similarity.py against random strings) so results are
+    checkable by the SQL oracle: prefix length <= 4, scaling 0.1,
+    boost only when jaro > 0.7.
+    """
+    len1, len2 = len(s1), len(s2)
+    if len1 == 0 or len2 == 0:
+        return 0.0
+    if s1 == s2:
+        return 1.0
+    match_window = max(max(len1, len2) // 2 - 1, 0)
+    s2_matched = [False] * len2
+    s1_matched_chars: list[str] = []
+    for i, c1 in enumerate(s1):
+        lo = max(0, i - match_window)
+        hi = min(len2, i + match_window + 1)
+        for j in range(lo, hi):
+            if not s2_matched[j] and s2[j] == c1:
+                s2_matched[j] = True
+                s1_matched_chars.append(c1)
+                break
+    m = float(len(s1_matched_chars))
+    if m == 0:
+        return 0.0
+    s2_matched_chars = [s2[j] for j in range(len2) if s2_matched[j]]
+    # integer division matches DuckDB's (rapidfuzz-style) C++ impl
+    t = sum(1 for a, b in zip(s1_matched_chars, s2_matched_chars) if a != b) // 2
+    jaro = (m / len1 + m / len2 + (m - t) / m) / 3.0
+    if jaro <= 0.7:
+        return jaro
+    prefix = 0
+    for c1, c2 in zip(s1[:4], s2[:4]):
+        if c1 == c2:
+            prefix += 1
+        else:
+            break
+    return jaro + prefix * 0.1 * (1.0 - jaro)
+
+
+@pandas_udf(DoubleType())
+def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-batched Jaro-Winkler over two string columns."""
+    return pd.Series(
+        [_jaro_winkler(x or "", y or "") for x, y in zip(a, b)], dtype="float64"
+    )
+
+
+# ------------------------------------------------------------ token Jaccard
+
+
+@pandas_udf(DoubleType())
+def token_jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Jaccard over the DISTINCT elements of two array<string> columns."""
+    out = np.empty(len(a), dtype="float64")
+    for i, (x, y) in enumerate(zip(a, b)):
+        sx = set(x) if x is not None else set()
+        sy = set(y) if y is not None else set()
+        u = len(sx | sy)
+        out[i] = (len(sx & sy) / u) if u else 0.0
+    return pd.Series(out)
+
+
+def token_shingles(tokens: Column, n: int = 3, sep: str = " ") -> Column:
+    """n-token shingles of an array<string> column, native (no UDF).
+
+    Unigram Jaccard over code is too forgiving (identifier vocabularies
+    are tiny, so unrelated files share most tokens); order-sensitive
+    shingles restore discrimination. Arrays shorter than n collapse to a
+    single whole-array shingle.
+    """
+    joined_all = F.array(F.concat_ws(sep, tokens))
+    shingled = F.transform(
+        F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+        lambda i: F.concat_ws(sep, F.slice(tokens, i, n)),
+    )
+    return F.when(F.size(tokens) < n, joined_all).otherwise(shingled)
+
+
+def token_jaccard_expr(a: str, b: str) -> Column:
+    """Native-Column Jaccard over two array columns (exact, no UDF):
+    |distinct intersection| / |distinct union|. Division of exact ints
+    is bit-identical across engines — oracle-safe."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
+
+
+# --------------------------------------------- hashed n-gram cosine (X1+X2)
+
+
+HASH_DIM = 256
+NGRAM_N = 5
+
+
+def _hash_vector(text: str, n: int = NGRAM_N, dim: int = HASH_DIM) -> np.ndarray:
+    """HashingTF-style n-gram count vector with md5 bucketing
+    (deterministic across processes — no PYTHONHASHSEED dependence)."""
+    v = np.zeros(dim, dtype="float64")
+    t = text or ""
+    if len(t) < n:
+        grams = [t] if t else []
+    else:
+        grams = [t[i : i + n] for i in range(len(t) - n + 1)]
+    for g in grams:
+        h = int.from_bytes(hashlib.md5(g.encode()).digest()[:4], "big")
+        v[h % dim] += 1.0
+    return v
+
+
+@pandas_udf(DoubleType())
+def cosine_hashed_ngrams_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Cosine similarity between hashed character-n-gram count vectors of
+    two string columns. The engine-local replacement for the reference's
+    embed+L2 scoring (embeddings/ollama.go + vector/sqlite.go:368-437)."""
+    out = np.empty(len(a), dtype="float64")
+    for i, (x, y) in enumerate(zip(a, b)):
+        va = _hash_vector(x)
+        vb = _hash_vector(y)
+        na = np.linalg.norm(va)
+        nb = np.linalg.norm(vb)
+        out[i] = float(va @ vb / (na * nb)) if na > 0 and nb > 0 else 0.0
+    return pd.Series(out)

@@ -1,0 +1,66 @@
+"""Stage 6 — resolution: components + records -> survivors & edges.
+
+Ancestor: wof-process-duplicates' survivor-precedence rules
+(process.go:143-333): (a) deprecated side loses, (b) mapzen geometry
+wins, (c) newer lastmod wins, (d) tie -> higher id wins; plus the
+supersession edge writes (process.go:341-377) and concordance
+assignment (assign.go:53-170).
+
+Adapted to the source-code domain: per cluster the survivor is the
+record with the ordered key (max commit, then max id) — deterministic,
+rerun-stable. Implemented as one ``max_by`` aggregation per cluster
+(no window shuffle over the full record set), then a broadcast-friendly
+join back for the supersession arrays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def resolve_clusters(components: DataFrame, records: DataFrame) -> DataFrame:
+    """-> resolution(id, cluster_id, survivor_id, is_survivor,
+    superseded_by array<string>, supersedes array<string>).
+
+    Survivor precedence (C2 adapted): newest commit wins, tie -> max id.
+    """
+    member = components.join(
+        records.select("id", "commit"), "id", "inner"
+    )
+    survivors = member.groupBy("cluster_id").agg(
+        F.max_by("id", F.struct(F.col("commit"), F.col("id"))).alias("survivor_id"),
+        F.collect_set("id").alias("member_ids"),
+    )
+    out = (
+        member.join(survivors, "cluster_id")
+        .select(
+            "id",
+            "cluster_id",
+            "survivor_id",
+            (F.col("id") == F.col("survivor_id")).alias("is_survivor"),
+            # loser -> [survivor]; survivor -> [] (process.go:341-377 C3)
+            F.when(
+                F.col("id") == F.col("survivor_id"), F.array().cast("array<string>")
+            ).otherwise(F.array(F.col("survivor_id"))).alias("superseded_by"),
+            F.when(
+                F.col("id") == F.col("survivor_id"),
+                F.array_sort(
+                    F.array_remove(F.col("member_ids"), F.col("survivor_id"))
+                ),
+            ).otherwise(F.array().cast("array<string>")).alias("supersedes"),
+        )
+    )
+    return out
+
+
+def match_table(scores: DataFrame) -> DataFrame:
+    """The reference's emitted match row — {block, source_id, target_id,
+    similarity} (compare/geohash.go:175-183, README.md:152-163) — as a
+    DataFrame instead of a channel-fed CSV writer."""
+    return scores.where("is_match").select(
+        F.col("block_key").alias("block"),
+        F.col("id_a").alias("source_id"),
+        F.col("id_b").alias("target_id"),
+        F.col("score").alias("similarity"),
+    )

@@ -1,0 +1,107 @@
+"""The end-to-end dedupe plan: files -> records -> blocks -> pairs ->
+scores -> components -> resolution.
+
+This is the Spark replacement for the reference's three CLI tools
+chained by CSV files (index-locations -> compare-locations ->
+wof-process-duplicates, SURVEY.md §3): one declarative plan, each stage
+checkpointed and individually resumable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_dedupe_spark.operators.blocking import make_blocks
+from go_dedupe_spark.operators.components import connected_components
+from go_dedupe_spark.operators.normalize import normalize
+from go_dedupe_spark.operators.pairs import candidate_pairs
+from go_dedupe_spark.operators.resolve import resolve_clusters
+from go_dedupe_spark.operators.scoring import score_pairs
+from go_dedupe_spark.plans.checkpoint import CheckpointStore
+
+
+@dataclass
+class PipelineConfig:
+    threshold: float = 0.52
+    num_hashes: int = 12
+    band_rows: int = 3
+    content_num_hashes: int = 9
+    content_band_rows: int = 3
+    max_block: int = 2000
+    salt_cap: int = 200
+    with_cosine: bool = True
+    cc_max_iter: int = 25
+    extra: dict = field(default_factory=dict)
+
+
+@dataclass
+class PipelineResult:
+    records: DataFrame
+    blocks: DataFrame
+    pairs: DataFrame
+    scores: DataFrame
+    components: DataFrame
+    resolution: DataFrame
+
+
+def run_pipeline(
+    spark: SparkSession,
+    files: DataFrame,
+    cfg: PipelineConfig | None = None,
+    store: CheckpointStore | None = None,
+    input_snapshot: str = "adhoc",
+) -> PipelineResult:
+    """Run all six stages. With a ``store``, each stage checkpoints and
+    resumes idempotently (same input_snapshot -> reuse)."""
+    cfg = cfg or PipelineConfig()
+
+    def stage(name: str, compute, sort_by=None) -> DataFrame:
+        if store is None:
+            return compute()
+        return store.get_or_compute(spark, name, input_snapshot, compute,
+                                    sort_by=sort_by)
+
+    records = stage("records", lambda: normalize(files), sort_by=["id"])
+    blocks = stage(
+        "blocks",
+        lambda: make_blocks(
+            records,
+            num_hashes=cfg.num_hashes, band_rows=cfg.band_rows,
+            content_num_hashes=cfg.content_num_hashes,
+            content_band_rows=cfg.content_band_rows,
+        ),
+        sort_by=["block_key", "id"],
+    )
+    pairs = stage(
+        "pairs",
+        lambda: candidate_pairs(blocks, max_block=cfg.max_block,
+                                salt_cap=cfg.salt_cap),
+        sort_by=["id_a", "id_b"],
+    )
+    scores = stage(
+        "scores",
+        lambda: score_pairs(pairs, records, threshold=cfg.threshold,
+                            with_cosine=cfg.with_cosine),
+        sort_by=["id_a", "id_b"],
+    )
+    matches = scores.where("is_match").select("id_a", "id_b")
+
+    def compute_components() -> DataFrame:
+        comp = connected_components(matches, max_iter=cfg.cc_max_iter)
+        singletons = (
+            records.select("id")
+            .join(comp.select("id"), "id", "left_anti")
+            .withColumn("cluster_id", F.col("id"))
+        )
+        return comp.unionByName(singletons)
+
+    components = stage("components", compute_components, sort_by=["id"])
+    resolution = stage(
+        "resolution",
+        lambda: resolve_clusters(components, records),
+        sort_by=["cluster_id", "id"],
+    )
+    return PipelineResult(records, blocks, pairs, scores, components, resolution)
