@@ -1,38 +1,57 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  -> flagship query (ER match pipeline on sf0.001 documents)
+queries()     -> one entry per implemented operator (SURVEY.md §2 +
+                 training-data operators); each (spark, sf_dir) -> DataFrame
+oracle_sql()  -> DuckDB-runnable SQL twin per query (same columns/values)
+
+Implementations live in go_dedupe_spark.entry_queries; this module stays
+a thin stable wrapper.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Make the package importable on executors (pandas UDFs)."""
+    from go_dedupe_spark.session import _ship_package
+
+    try:
+        _ship_package(spark)
+    except Exception:  # already shipped / static conf — non-fatal
+        pass
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the ER scoring pipeline (block -> pair -> score -> match)
+    over /root/testdata/sf0.001 documents."""
+    _ensure_shipped(spark)
+    from go_dedupe_spark import entry_queries as q
+
+    return q.er_scores(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from go_dedupe_spark import entry_queries as q
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ensure_shipped(spark)
+            return fn(spark, sf_dir)
+        return run
+
+    return {name: wrap(fn) for name, fn in q.QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from go_dedupe_spark import entry_queries as q
+
+    return dict(q.ORACLES)

@@ -67,12 +67,15 @@ def minhash_signature(tokens: Column, num_hashes: int = DEFAULT_NUM_HASHES) -> C
     One element per permutation i. Pure Column expression — identical
     results in the DuckDB oracle via ``min(md5(i || ':' || t))``.
     """
-    sig = [
-        F.array_min(
-            F.transform(tokens, lambda t, i=i: F.md5(F.concat(F.lit(f"{i}:"), t)))
-        )
-        for i in range(num_hashes)
-    ]
+    def perm_hash(i: int):
+        # NB: a plain ``lambda t, i=i`` would change the lambda's arity —
+        # pyspark's transform() introspects it and would pass the array
+        # INDEX as the second argument, silently overriding the default.
+        prefix = f"{i}:"
+        return lambda t: F.md5(F.concat(F.lit(prefix), t))
+
+    sig = [F.array_min(F.transform(tokens, perm_hash(i)))
+           for i in range(num_hashes)]
     return F.array(*sig)
 
 

@@ -1,0 +1,186 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+These generalize the engine's core blocking+scoring machinery into the
+standard dedup toolbox: exact (hash groupBy), MinHash+LSH, SimHash,
+n-gram Jaccard, embedding-cosine near-dup. All hot paths are native
+Column expressions (md5/sha2/array ops -> whole-stage codegen); nothing
+here is per-row Python.
+
+Scale notes: every pair-producing operator blocks first (LSH bands,
+simhash buckets, or an explicit block column) so candidate sets are
+bounded; the full O(n^2) cross join never materializes. At 100 TB the
+only shuffles are the band-key self-joins, which AQE skew-join splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from go_dedupe_spark.functions.hashing import minhash_band_keys, token_hash64
+from go_dedupe_spark.functions.similarity import char_ngrams, word_tokens
+
+
+# ------------------------------------------------------------------ exact
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Exact dedup via sha256 groupBy: one row per duplicated content,
+    canonical_id = min id, n_dups = group size. (Ancestor: the sha
+    fast-path block; reference analog is the upsert-by-id skip,
+    vector/sqlite.go:273-303.)"""
+    return (
+        df.select(F.col(id_col).alias("id"), F.sha2(F.col(text_col), 256).alias("content_sha256"))
+        .groupBy("content_sha256")
+        .agg(F.min("id").alias("canonical_id"), F.count("*").alias("n_dups"))
+        .where(F.col("n_dups") > 1)
+    )
+
+
+# ------------------------------------------------------------- MinHash+LSH
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    band_rows: int = 2,
+    scope_col: str | None = None,
+) -> DataFrame:
+    """Candidate near-dup pairs via MinHash banding over word tokens:
+    shingle -> minhash -> band -> bucket self-join. Returns distinct
+    (id_a, id_b) with id_a < id_b. ``scope_col`` (e.g. lang) prefixes
+    every band key so buckets never cross scopes."""
+    toks = word_tokens(F.col(text_col))
+    keys = minhash_band_keys(toks, num_hashes=num_hashes, band_rows=band_rows,
+                             prefix="lsh")
+    if scope_col:
+        keyed = df.select(
+            F.col(id_col).alias("id"),
+            F.explode(keys).alias("k0"),
+            F.col(scope_col).cast("string").alias("_scope"),
+        ).select("id", F.concat(F.col("_scope"), F.lit(":"), F.col("k0")).alias("block_key"))
+    else:
+        keyed = df.select(F.col(id_col).alias("id"), F.explode(keys).alias("block_key"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(b, (F.col("a.block_key") == F.col("b.block_key"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+# ----------------------------------------------------------------- SimHash
+
+
+def simhash(text_col: Column, bits: int = 16) -> Column:
+    """SimHash over word tokens as a native Column: per-bit majority
+    vote of token md5 hashes. bits <= 32 (uses a 60-bit md5-prefix
+    token hash; bit i of each token's hash votes +1/-1)."""
+    toks = word_tokens(text_col)
+    hashes = F.transform(toks, token_hash64)
+    def vote_fn(b: int):
+        # closure factory: a default-arg lambda would change arity and
+        # break pyspark's aggregate() lambda introspection
+        return lambda acc, h: acc + F.shiftright(h, b).bitwiseAND(F.lit(1))
+
+    bit_cols = []
+    for b in range(bits):
+        votes = F.aggregate(hashes, F.lit(0).cast("long"), vote_fn(b))
+        bit = (votes * 2 > F.size(toks)).cast("long")
+        bit_cols.append(F.shiftleft(bit, b))
+    out = bit_cols[0]
+    for c in bit_cols[1:]:
+        out = out + c
+    return out
+
+
+def simhash_duplicates(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", bits: int = 16) -> DataFrame:
+    """Docs whose simhash collides exactly (near-dup at small hamming
+    distance needs banded simhash; exact-bucket is the scalable first
+    pass). Returns (simhash, canonical_id, n_docs)."""
+    return (
+        df.select(F.col(id_col).alias("id"),
+                  simhash(F.col(text_col), bits).alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.min("id").alias("canonical_id"), F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+# ----------------------------------------------------------- n-gram Jaccard
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidate_pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact char-n-gram Jaccard on candidate pairs (distinct grams).
+    candidate_pairs: (id_a, id_b). Native array_intersect/union."""
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(char_ngrams(text_col, n)).alias("grams"),
+    )
+    a = grams.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a"))
+    b = grams.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b"))
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    union = F.size(F.array_union("grams_a", "grams_b"))
+    jac = F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
+    return (
+        candidate_pairs.join(a, "id_a").join(b, "id_b")
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ------------------------------------------------------- embedding cosine
+
+
+def cosine_expr(a: str | Column, b: str | Column) -> Column:
+    """Cosine similarity between two array<numeric> columns, native
+    (zip_with product + aggregate sums — sequential, deterministic)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+
+
+def embedding_cosine_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Near-dup pairs by embedding cosine >= threshold. Pairs are
+    generated within ``block_col`` groups (or use an LSH bucketing for
+    unblocked data — see ann.random_projection_buckets) so the join
+    never goes quadratic over the corpus."""
+    sel = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+                     *( [F.col(block_col).alias("blk")] if block_col else []))
+    a = sel.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"),
+                   *( [F.col("blk").alias("blk_a")] if block_col else []))
+    b = sel.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"),
+                   *( [F.col("blk").alias("blk_b")] if block_col else []))
+    cond = F.col("id_a") < F.col("id_b")
+    if block_col:
+        cond = cond & (F.col("blk_a") == F.col("blk_b"))
+    return (
+        a.join(b, cond)
+        .select("id_a", "id_b",
+                F.round(cosine_expr("vec_a", "vec_b"), 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

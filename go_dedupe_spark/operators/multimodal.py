@@ -1,0 +1,103 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata, processed via mapInPandas.
+
+The decode step itself is STUBBED (the container has no image/audio
+libs): ``decode_image_batch`` raises NotImplementedError unless
+``fake=True``, in which case a deterministic fake decoder derives
+"pixels" from the sha256 of the bytes. Everything Spark-side — schema,
+partition sizing, Arrow batch shape, UDF signatures — is real and
+tested; swapping the fake for PIL/ffmpeg is a one-function change.
+
+Reference ancestor: the image-embedding path of the Embedder interface
+(embeddings/embedder.go:16-25; ImageEmbeddings — ollama returns
+NotImplemented too, embeddings/ollama_test.go:24-33). We keep the same
+contract: media in, fixed-width feature vector out.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType([
+    StructField("media_id", StringType()),
+    StructField("kind", StringType()),        # image | audio | video
+    StructField("media", StringType()),       # binary payload carrier
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+])
+
+FEATURE_SCHEMA = StructType([
+    StructField("media_id", StringType()),
+    StructField("kind", StringType()),
+    StructField("n_bytes", IntegerType()),
+    StructField("sha256", StringType()),
+    StructField("features", ArrayType(FloatType())),
+])
+
+FEATURE_DIM = 16
+
+
+def _fake_decode(payload: bytes) -> np.ndarray:
+    """Deterministic fake 'decode': features from the payload digest.
+    Stands in for PIL.decode/resize/feature-extract."""
+    d = hashlib.sha256(payload).digest()
+    return (np.frombuffer(d[:FEATURE_DIM], dtype=np.uint8) / 255.0).astype("float32")
+
+
+def decode_image_batch(payloads: pd.Series, fake: bool = False) -> list[np.ndarray]:
+    """The stubbed decode seam. Real deployments: PIL/torchvision here."""
+    if not fake:
+        raise NotImplementedError(
+            "real image decode requires PIL/libvips — not in this container; "
+            "pass fake=True for the deterministic stand-in"
+        )
+    return [_fake_decode(p if isinstance(p, bytes) else str(p).encode())
+            for p in payloads]
+
+
+def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """media(media_id, kind, media, ...) -> FEATURE_SCHEMA rows via
+    mapInPandas (Arrow batches; one numpy pass per batch)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["media"]
+            raw = [p if isinstance(p, bytes) else str(p).encode()
+                   for p in payloads]
+            feats = decode_image_batch(payloads, fake=fake)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "n_bytes": [len(r) for r in raw],
+                "sha256": [hashlib.sha256(r).hexdigest() for r in raw],
+                "features": [f.tolist() for f in feats],
+            })
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Adapter: treat the documents table's text as an opaque media
+    payload (the testdata has no real binaries) — exercises the full
+    plumbing with a deterministic corpus."""
+    return docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.col("text").alias("media"),
+        F.lit(64).alias("width"),
+        F.lit(64).alias("height"),
+    )
