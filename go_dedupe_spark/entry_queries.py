@@ -365,3 +365,503 @@ def er_resolution(spark, sf_dir):
         "id", "cluster_id",
         F.max("id").over(w).alias("survivor_id"),
     ).withColumn("is_survivor", F.col("id") == F.col("survivor_id"))
+
+
+# ======================================================= dedup suite
+
+_SQL_EMB = "SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings"
+
+
+def _sql_cosine(va: str, vb: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, len({va}) + 1), i -> {va}[i] * {vb}[i]))"
+        f" / (sqrt(list_sum(list_transform({va}, x -> x * x)))"
+        f" * sqrt(list_sum(list_transform({vb}, x -> x * x))))"
+    )
+
+
+@query("dedup_exact", """
+SELECT sha256(text) AS content_sha256,
+       CAST(min(doc_id) AS BIGINT) AS canonical_id,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM documents GROUP BY 1 HAVING count(*) > 1
+""")
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on content sha256 (ancestor: the
+    upsert skip-if-exists, vector/sqlite.go:273-303)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.sha2("text", 256).alias("content_sha256"))
+        .agg(F.min("doc_id").alias("canonical_id"),
+             F.count("*").alias("n_dups"))
+        .where(F.col("n_dups") > 1)
+    )
+
+
+LSH_NH, LSH_R = 6, 3
+
+
+def _lsh_pairs_sql() -> str:
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {_sql_band('lsh', b, LSH_R, 's')} AS bk FROM sig"
+        for b in range(LSH_NH // LSH_R)
+    )
+    return f"""
+t AS (SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents),
+sig AS (SELECT doc_id, lang, {_sql_sig(LSH_NH, 'toks', 's')} FROM t),
+e AS ({bands}),
+lp AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       FROM e a JOIN e b ON a.bk = b.bk AND a.doc_id < b.doc_id)"""
+
+
+@query("dedup_minhash_lsh", f"""
+WITH {_lsh_pairs_sql()}
+SELECT id_a, id_b FROM lp
+""")
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidate pairs: shingle -> minhash ->
+    band -> bucket self-join."""
+    from go_dedupe_spark.operators.dedupe import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=LSH_NH,
+                             band_rows=LSH_R, scope_col="lang")
+
+
+SIMHASH_BITS = 16
+
+
+def _simhash_sql(bits: int) -> str:
+    h = "(('0x' || substr(md5(t), 1, 15))::BIGINT)"
+    terms = " + ".join(
+        "(CASE WHEN 2 * coalesce(list_aggregate(list_transform(toks, "
+        f"t -> ({h} >> {b}) & 1), 'sum'), 0) > len(toks) "
+        f"THEN (1::BIGINT << {b}) ELSE (0)::BIGINT END)"
+        for b in range(bits)
+    )
+    return terms
+
+
+@query("dedup_simhash", f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, CAST({_simhash_sql(SIMHASH_BITS)} AS BIGINT) AS simhash FROM t)
+SELECT simhash, CAST(min(doc_id) AS BIGINT) AS canonical_id,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM s GROUP BY simhash HAVING count(*) > 1
+""")
+def dedup_simhash(spark, sf_dir):
+    """SimHash bucket dedup: per-bit majority vote of token hashes."""
+    from go_dedupe_spark.operators.dedupe import simhash_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_duplicates(docs, "doc_id", "text", bits=SIMHASH_BITS)
+
+
+NGRAM_JAC_N = 5
+NGRAM_JAC_T = 0.25
+
+
+@query("dedup_ngram_jaccard", f"""
+WITH {_lsh_pairs_sql()},
+g AS (SELECT doc_id, list_distinct(
+        CASE WHEN len(text) < {NGRAM_JAC_N} THEN [text]
+        ELSE list_transform(range(1, len(text) - {NGRAM_JAC_N - 2}),
+                            i -> substr(text, i, {NGRAM_JAC_N})) END) AS grams
+      FROM documents),
+j AS (SELECT id_a, id_b,
+        round(len(list_intersect(x.grams, y.grams)) * 1.0
+              / len(list_distinct(list_concat(x.grams, y.grams))), 6) AS jaccard
+      FROM lp JOIN g x ON x.doc_id = id_a JOIN g y ON y.doc_id = id_b)
+SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= {NGRAM_JAC_T}
+""")
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Char-n-gram Jaccard scoring over LSH candidate pairs."""
+    from go_dedupe_spark.operators.dedupe import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=LSH_NH,
+                              band_rows=LSH_R, scope_col="lang")
+    return ngram_jaccard_pairs(docs, pairs, "doc_id", "text",
+                               n=NGRAM_JAC_N, threshold=NGRAM_JAC_T)
+
+
+EMB_COS_T = 0.25
+
+
+@query("dedup_embedding_cosine", f"""
+WITH e AS ({_SQL_EMB}),
+p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
+c AS (SELECT id_a, id_b, round({_sql_cosine('va', 'vb')}, 6) AS cosine FROM p)
+SELECT id_a, id_b, cosine FROM c WHERE cosine >= {EMB_COS_T}
+""")
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, blocked by label (the unblocked
+    scale path is SRP-LSH bucketing, see ann_topk_lsh)."""
+    from go_dedupe_spark.operators.dedupe import embedding_cosine_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return embedding_cosine_pairs(emb, "vec_id", "embedding", "label",
+                                  threshold=EMB_COS_T)
+
+
+# ======================================================= ANN
+
+ANN_K = 10
+ANN_NQ = 8
+
+
+@query("ann_topk_bruteforce", f"""
+WITH e AS ({_SQL_EMB}),
+q AS (SELECT * FROM e WHERE vec_id < {ANN_NQ}),
+s AS (SELECT q.vec_id AS query_id, e.vec_id AS item_id,
+        round({_sql_cosine('q.v', 'e.v')}, 6) AS cosine
+      FROM q JOIN e ON e.vec_id <> q.vec_id)
+SELECT query_id, item_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, item_id) AS BIGINT) AS rank
+FROM s QUALIFY rank <= {ANN_K}
+""")
+def ann_topk_bruteforce(spark, sf_dir):
+    """Exact cosine top-k per query vector — broadcast brute force
+    (ancestor: per-record kNN SQL, vector/sqlite.go:368-437)."""
+    from go_dedupe_spark.operators.ann import cosine_topk_bruteforce
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries_df = emb.where(F.col("vec_id") < ANN_NQ)
+    return cosine_topk_bruteforce(emb, queries_df, k=ANN_K)
+
+
+@query("ann_topk_lsh")  # no oracle: seeded-numpy SRP buckets (pandas UDF)
+def ann_topk_lsh(spark, sf_dir):
+    """SRP-LSH-bucketed approximate top-k — the 100 TB path (one
+    equi-join instead of a cross join). Weak (rows-only) check."""
+    from go_dedupe_spark.operators.ann import cosine_topk_lsh
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries_df = emb.where(F.col("vec_id") < ANN_NQ)
+    return cosine_topk_lsh(emb, queries_df, dim=64, k=ANN_K, n_bits=8)
+
+
+# ======================================================= text analysis
+
+_SQL_TOKS_KEEPCASE = (
+    "list_filter(regexp_split_to_array(text, '[^A-Za-z0-9_]+'), t -> t <> '')"
+)
+
+
+@query("text_token_count", f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS_KEEPCASE} AS toks FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(coalesce(list_aggregate(list_transform(toks,
+            t -> CASE WHEN len(t) <= 6 THEN 1
+                 ELSE CAST(ceil(len(t) / 4.0) AS INTEGER) END), 'sum'), 0)
+            AS BIGINT) AS n_pieces
+FROM t
+""")
+def text_token_count(spark, sf_dir):
+    """Token counting: whitespace/punct tokens + a BPE-ish piece count."""
+    from go_dedupe_spark.operators.text import bpe_ish_piece_count, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        token_count("text").cast("long").alias("n_tokens"),
+        bpe_ish_piece_count("text").cast("long").alias("n_pieces"),
+    )
+
+
+_STOPWORDS_SQL = "['the','and','of','to','in','is','that','for','a','an','it','on','as','at','by']"
+
+
+@query("text_quality", f"""
+WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents),
+q AS (SELECT doc_id,
+  len(toks) AS n_tok,
+  len(text) AS text_len,
+  len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS alnum_len,
+  len(list_intersect(list_distinct(toks), {_STOPWORDS_SQL})) AS stop_hits,
+  coalesce(list_aggregate(list_transform(toks, t -> len(t)), 'sum'), 0) AS tok_chars
+  FROM t),
+f AS (SELECT doc_id,
+  n_tok,
+  CASE WHEN n_tok > 0 THEN tok_chars * 1.0 / n_tok ELSE 0.0 END AS mean_token_len,
+  CASE WHEN text_len > 0 THEN (text_len - alnum_len) * 1.0 / text_len ELSE 0.0 END AS punct_ratio,
+  CASE WHEN n_tok > 0 THEN stop_hits * 1.0 / least(n_tok, 15) ELSE 0.0 END AS stopword_ratio
+  FROM q)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(n_tok AS BIGINT) AS n_tokens,
+  round(mean_token_len, 6) AS mean_token_len,
+  round(punct_ratio, 6) AS punct_ratio,
+  round(stopword_ratio, 6) AS stopword_ratio,
+  round(least(n_tok / 64.0, 1.0) * 0.4
+        + (1.0 - least(punct_ratio * 4, 1.0)) * 0.3
+        + least(stopword_ratio * 2, 1.0) * 0.3, 6) AS quality
+FROM f
+""")
+def text_quality(spark, sf_dir):
+    """Quality scoring: length/punct/stopword ratio features."""
+    from go_dedupe_spark.operators.text import quality_features
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = quality_features(docs, "text")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "mean_token_len", "punct_ratio", "stopword_ratio", "quality",
+    )
+
+
+_LANG_CASE_SQL = """
+CASE WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+     WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+     WHEN h_es >= h_fr THEN 'es'
+     ELSE 'fr' END
+"""
+
+
+@query("text_langid", f"""
+WITH t AS (SELECT doc_id, lang, list_distinct({_SQL_TOKS}) AS toks FROM documents),
+h AS (SELECT doc_id, lang,
+  len(list_intersect(toks, ['der','die','und','das','von','mit','ist','den'])) AS h_de,
+  len(list_intersect(toks, ['the','and','of','to','in','is','that','for'])) AS h_en,
+  len(list_intersect(toks, ['el','la','de','que','y','en','los','del'])) AS h_es,
+  len(list_intersect(toks, ['le','la','de','et','les','des','un','une'])) AS h_fr
+  FROM t)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, {_LANG_CASE_SQL} AS lang_guess
+FROM h
+""")
+def text_langid(spark, sf_dir):
+    """Language ID via deterministic marker-word argmax (ties ->
+    smallest code)."""
+    from go_dedupe_spark.operators.text import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        lang_id("text").alias("lang_guess"),
+    )
+
+
+@query("text_fingerprint", """
+WITH t AS (SELECT doc_id,
+  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), t -> t <> '') AS toks
+  FROM documents),
+s AS (SELECT doc_id, CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+    ELSE list_transform(range(1, len(toks) - 2),
+                        i -> array_to_string(toks[i:i+3], ' ')) END AS sh
+  FROM t),
+h AS (SELECT doc_id, list_transform(list_distinct(sh), x -> md5(x)) AS hashed FROM s)
+SELECT CAST(doc_id AS BIGINT) AS id,
+       list_aggregate(hashed, 'min') AS fp_min,
+       list_aggregate(hashed, 'max') AS fp_max,
+       CAST(len(hashed) AS BIGINT) AS n_shingles
+FROM h
+""")
+def text_fingerprint(spark, sf_dir):
+    """Document fingerprint: min/max md5 over 4-token shingles
+    (rolling-hash winnowing-lite)."""
+    from go_dedupe_spark.operators.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    out = fingerprint(docs, "doc_id", "text", shingle_n=4)
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        "fp_min", "fp_max",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+    )
+
+
+# ======================================== relational operator showcase
+# (SURVEY.md §2.5-2.7 joins/aggs/sorts expressed over the TPC-H-ish
+# driver tables; Catalyst handles pushdown/broadcast/AQE.)
+
+
+@query("agg_pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""")
+def agg_pricing_summary(spark, sf_dir):
+    """Aggregation showcase (ancestor A1 groupBy-count generalized):
+    map-side partial aggregation + single shuffle on the group keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query("join_revenue_top10", """
+SELECT o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY 1, 2
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""")
+def join_revenue_top10(spark, sf_dir):
+    """Join + agg + global top-k (ancestor O2 biggest-first ordering)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@query("join_broadcast_enrich", """
+SELECT r_name, n_name,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""")
+def join_broadcast_enrich(spark, sf_dir):
+    """Multi-way dimension join (ancestor J4 id->record point joins):
+    small dims broadcast — no shuffle of the fact table."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count("*").alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+    )
+
+
+@query("window_topk_orders", """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       CAST(row_number() OVER (PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank
+FROM orders
+QUALIFY rank <= 3
+""")
+def window_topk_orders(spark, sf_dir):
+    """Window top-k per key (ancestor O1: ORDER BY distance LIMIT k)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+    )
+
+
+@query("anti_join_resume", """
+SELECT o_orderkey FROM orders
+WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey % 10 = 0)
+""")
+def anti_join_resume(spark, sf_dir):
+    """Left-anti join — the checkpoint-resume primitive that replaces
+    the reference's start-after line offsets (overture/iterator.go:85-96)
+    and refresh=false skips (vector/sqlite.go:273-303)."""
+    o = _t(spark, sf_dir, "orders")
+    done = o.where(F.col("o_orderkey") % 10 == 0).select("o_orderkey")
+    return o.join(done, "o_orderkey", "left_anti").select("o_orderkey")
+
+
+@query("events_hourly_rollup", """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+""")
+def events_hourly_rollup(spark, sf_dir):
+    """Tumbling-window aggregation in batch form — the Structured
+    Streaming rollup (streaming/ingest.py) shares this exact logic via
+    foreachBatch."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+@query("filter_pushdown_projection", """
+SELECT l_orderkey, l_extendedprice
+FROM lineitem
+WHERE l_shipdate > TIMESTAMP '1998-06-01 00:00:00' AND l_discount > 0.05
+""")
+def filter_pushdown_projection(spark, sf_dir):
+    """Scan showcase: predicate + projection reach the parquet reader
+    (PushedFilters/ReadSchema in explain) — what the reference's
+    hand-hoisted geohash/id columns approximated (location/sql.go:58-63)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where((F.col("l_shipdate") > F.lit("1998-06-01 00:00:00").cast("timestamp"))
+                 & (F.col("l_discount") > 0.05))
+        .select("l_orderkey", "l_extendedprice")
+    )
+
+
+# ======================================================= multimodal
+
+
+@query("multimodal_meta", """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256,
+       CAST(greatest(1, CAST(ceil(n_chars / 32.0) AS BIGINT)) AS BIGINT) AS n_frames
+FROM documents
+""")
+def multimodal_meta(spark, sf_dir):
+    """Typed metadata over opaque media payloads (documents stand in
+    for binaries — deterministic frame-count arithmetic)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        F.sha2("text", 256).alias("sha256"),
+        F.greatest(F.lit(1), F.ceil(F.col("n_chars") / 32.0)).cast("long").alias("n_frames"),
+    )
+
+
+@query("multimodal_features")  # no oracle: mapInPandas feature extraction
+def multimodal_features(spark, sf_dir):
+    """The mapInPandas decode/feature plumbing with the deterministic
+    fake decoder (real decode is stubbed — no media libs in container)."""
+    from go_dedupe_spark.operators.multimodal import documents_as_media, extract_features
+
+    docs = _t(spark, sf_dir, "documents")
+    return extract_features(documents_as_media(docs), fake=True)
