@@ -47,7 +47,16 @@ def query(name: str, sql: str | None = None):
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in ("documents", "embeddings"):
+        # these arrive as ONE small parquet file -> one input split -> a
+        # single task would run every expression-heavy stage (tokenize,
+        # shingle, minhash) on one core. Explicit repartition (a ~5 MB
+        # shuffle) restores full parallelism; the explicit number keeps
+        # AQE from coalescing it back. On a real corpus the scan has
+        # thousands of splits and this is a no-op decision.
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 # ------------------------------------------------- ER pipeline constants
@@ -57,6 +66,14 @@ CMH_NH, CMH_R = 9, 3        # 3-token-shingle MinHash: 3 bands x 3 rows
 SHA_PREFIX = 12
 ER_W_JW, ER_W_JAC = 0.3, 0.7
 ER_THRESHOLD = 0.31
+# Mega-block salting (the documents corpus has a genuine dense block:
+# a ~30-word shared vocabulary puts ~20% of each language in one
+# unigram-MinHash bucket — the analog of a dense downtown geohash).
+# Blocks larger than ER_MAX_BLOCK are split into deterministic md5-salt
+# sub-blocks of ~ER_SALT_CAP members, bounding pair counts; the oracle
+# SQL reproduces the salt exactly.
+ER_MAX_BLOCK = 100
+ER_SALT_CAP = 40
 
 # --- shared DuckDB CTE text (records/shingles/signatures/blocks/pairs) ---
 
@@ -128,10 +145,20 @@ bl AS (SELECT DISTINCT id, block_key, block_kind FROM ({union}))"""
 
 
 def _pairs_cte() -> str:
-    return """
+    return f"""
+bsz AS (SELECT block_key, count(*) AS n FROM bl GROUP BY block_key),
+bs AS (SELECT bl.id, bl.block_key, bsz.n FROM bl JOIN bsz USING (block_key)),
+keyed AS (
+  SELECT id, block_key FROM bs WHERE n <= {ER_MAX_BLOCK}
+  UNION ALL
+  SELECT id, block_key || '#' || CAST(
+      (('0x' || substr(md5(id), 1, 8))::BIGINT
+       % CAST(ceil(n / {ER_SALT_CAP}.0) AS BIGINT)) AS VARCHAR) AS block_key
+  FROM bs WHERE n > {ER_MAX_BLOCK}
+),
 pr AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
-  FROM bl a JOIN bl b ON a.block_key = b.block_key AND a.id < b.id
+  FROM keyed a JOIN keyed b ON a.block_key = b.block_key AND a.id < b.id
 )"""
 
 
@@ -193,28 +220,40 @@ def _doc_blocks(records: DataFrame) -> DataFrame:
 
 
 def _doc_pairs(blocks: DataFrame) -> DataFrame:
-    a = blocks.select(F.col("id").alias("id_a"), "block_key")
-    b = blocks.select(F.col("id").alias("id_b"), "block_key")
-    return (
-        a.join(b, ["block_key"]).where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b").distinct()
-    )
+    """Candidate pairs via the library's skew-capped generator
+    (operators/pairs.py): mega-blocks are md5-salted into sub-blocks of
+    ~ER_SALT_CAP members — the explicit skew handling north_rule
+    requires, exercised (and oracle-verified) on the documents corpus."""
+    from go_dedupe_spark.operators.pairs import candidate_pairs
+
+    return candidate_pairs(
+        blocks, max_block=ER_MAX_BLOCK, salt_cap=ER_SALT_CAP
+    ).select("id_a", "id_b")
 
 
 def _doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     records = _doc_records(spark, sf_dir)
     pairs = _doc_pairs(_doc_blocks(records))
-    x = records.select(F.col("id").alias("id_a"), F.col("path").alias("path_a"),
-                       F.col("shingles").alias("sh_a"))
-    y = records.select(F.col("id").alias("id_b"), F.col("path").alias("path_b"),
-                       F.col("shingles").alias("sh_b"))
+    # documents is a small dimension relative to the pair set -> broadcast
+    # both sides (the corpus-scale pipeline in operators/scoring.py keeps
+    # shuffle joins; here pairs >> records so this removes two shuffles)
+    x = F.broadcast(records.select(
+        F.col("id").alias("id_a"), F.col("path").alias("path_a"),
+        F.col("shingles").alias("sh_a")))
+    y = F.broadcast(records.select(
+        F.col("id").alias("id_b"), F.col("path").alias("path_b"),
+        F.col("shingles").alias("sh_b")))
     jw = jaro_winkler_udf(F.col("path_a"), F.col("path_b"))
     inter = F.size(F.array_intersect(F.array_distinct("sh_a"),
                                      F.array_distinct("sh_b")))
     union = F.size(F.array_union("sh_a", "sh_b"))
     jac = inter * F.lit(1.0) / union
+    # repartition before the per-pair UDF + array scoring: AQE coalesces
+    # the small pair shuffle to ~1 partition and would single-thread it
+    par = spark.sparkContext.defaultParallelism
     return (
-        pairs.join(x, "id_a").join(y, "id_b")
+        pairs.repartition(par, "id_a", "id_b")
+        .join(x, "id_a").join(y, "id_b")
         .select(
             "id_a", "id_b",
             F.round(jw, 6).alias("jw_path"),
@@ -401,17 +440,31 @@ def dedup_exact(spark, sf_dir):
 LSH_NH, LSH_R = 6, 3
 
 
-def _lsh_pairs_sql() -> str:
+def _lsh_pairs_sql(salted: bool = False) -> str:
     bands = " UNION ALL ".join(
         f"SELECT doc_id, {_sql_band('lsh', b, LSH_R, 's')} AS bk FROM sig"
         for b in range(LSH_NH // LSH_R)
     )
-    return f"""
+    base = f"""
 t AS (SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents),
 sig AS (SELECT doc_id, lang, {_sql_sig(LSH_NH, 'toks', 's')} FROM t),
-e AS ({bands}),
+e AS ({bands})"""
+    if not salted:
+        return base + """,
 lp AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        FROM e a JOIN e b ON a.bk = b.bk AND a.doc_id < b.doc_id)"""
+    return base + f""",
+esz AS (SELECT bk, count(*) AS n FROM e GROUP BY bk),
+ek AS (
+  SELECT doc_id, bk FROM e JOIN esz USING (bk) WHERE n <= {ER_MAX_BLOCK}
+  UNION ALL
+  SELECT doc_id, bk || '#' || CAST(
+      (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+       % CAST(ceil(n / {ER_SALT_CAP}.0) AS BIGINT)) AS VARCHAR) AS bk
+  FROM e JOIN esz USING (bk) WHERE n > {ER_MAX_BLOCK}
+),
+lp AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       FROM ek a JOIN ek b ON a.bk = b.bk AND a.doc_id < b.doc_id)"""
 
 
 @query("dedup_minhash_lsh", f"""
@@ -461,8 +514,39 @@ NGRAM_JAC_N = 5
 NGRAM_JAC_T = 0.25
 
 
+def _salted_numeric_pairs(keyed: DataFrame, max_block: int,
+                          salt_cap: int) -> DataFrame:
+    """candidate_pairs' md5-salted mega-block split for NUMERIC ids
+    (keyed: (id, bk)): salt hashes the decimal string of the id so the
+    SQL oracle (md5(CAST(id AS VARCHAR))) reproduces it; id comparisons
+    stay numeric."""
+    from pyspark import StorageLevel
+
+    keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = keyed.groupBy("bk").agg(F.count("*").alias("n"))
+    sized = keyed.join(F.broadcast(sizes.where(F.col("n") > max_block)),
+                       "bk", "left")
+    normal = sized.where(F.col("n").isNull()).select("id", "bk")
+    n_salt = F.ceil(F.col("n") / F.lit(salt_cap)).cast("long")
+    mega = sized.where(F.col("n").isNotNull()).select(
+        "id",
+        F.concat(
+            F.col("bk"), F.lit("#"),
+            (F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10)
+             .cast("long") % n_salt).cast("string"),
+        ).alias("bk"),
+    )
+    k = normal.unionByName(mega)
+    a = k.select(F.col("id").alias("id_a"), "bk")
+    b = k.select(F.col("id").alias("id_b"), "bk")
+    return (
+        a.join(b, ["bk"]).where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b").distinct()
+    )
+
+
 @query("dedup_ngram_jaccard", f"""
-WITH {_lsh_pairs_sql()},
+WITH {_lsh_pairs_sql(salted=True)},
 g AS (SELECT doc_id, list_distinct(
         CASE WHEN len(text) < {NGRAM_JAC_N} THEN [text]
         ELSE list_transform(range(1, len(text) - {NGRAM_JAC_N - 2}),
@@ -475,12 +559,22 @@ j AS (SELECT id_a, id_b,
 SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= {NGRAM_JAC_T}
 """)
 def dedup_ngram_jaccard(spark, sf_dir):
-    """Char-n-gram Jaccard scoring over LSH candidate pairs."""
-    from go_dedupe_spark.operators.dedupe import minhash_lsh_pairs, ngram_jaccard_pairs
+    """Char-n-gram Jaccard verification over SKEW-CAPPED LSH candidates:
+    LSH bands -> md5-salted mega-block split -> exact n-gram Jaccard.
+    Composes the engine's blocking, skew and scoring primitives."""
+    from go_dedupe_spark.functions.hashing import minhash_band_keys
+    from go_dedupe_spark.functions.similarity import word_tokens as wt
+    from go_dedupe_spark.operators.dedupe import ngram_jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=LSH_NH,
-                              band_rows=LSH_R, scope_col="lang")
+    keys = minhash_band_keys(wt(F.col("text")), num_hashes=LSH_NH,
+                             band_rows=LSH_R, prefix="lsh")
+    keyed = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(keys).alias("k0"),
+        F.col("lang"),
+    ).select("id", F.concat(F.col("lang"), F.lit(":"), F.col("k0")).alias("bk"))
+    pairs = _salted_numeric_pairs(keyed, ER_MAX_BLOCK, ER_SALT_CAP)
     return ngram_jaccard_pairs(docs, pairs, "doc_id", "text",
                                n=NGRAM_JAC_N, threshold=NGRAM_JAC_T)
 

@@ -41,6 +41,12 @@ def make_blocks(
     use_content_bands: bool = True,
 ) -> DataFrame:
     """records -> blocks(block_key, block_kind, id), exploded."""
+    if use_content_bands:
+        # materialize content tokens once (inline exprs re-evaluate per
+        # signature permutation)
+        records = records.withColumn(
+            "_content_toks", word_tokens(F.col("content"))
+        )
     sha_key = F.concat(
         F.lit("sha:"), F.col("lang"), F.lit(":"),
         F.substring(F.col("content_sha256"), 1, SHA_PREFIX_LEN),
@@ -65,7 +71,7 @@ def make_blocks(
         )
     if use_content_bands:
         content_keys = minhash_band_keys(
-            word_tokens(F.col("content")),
+            F.col("_content_toks"),
             num_hashes=content_num_hashes, band_rows=content_band_rows,
             prefix="cmh",
         )

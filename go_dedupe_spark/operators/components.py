@@ -33,6 +33,7 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 25,
     checkpoint_fn=None,
+    driver_max_edges: int = 100_000,
 ) -> DataFrame:
     """edges(src, dst) -> components(id, cluster_id).
 
@@ -40,6 +41,13 @@ def connected_components(
     union isolated records back (see plans.pipeline.run_pipeline).
     ``checkpoint_fn(df, iteration)`` may persist + return a DataFrame —
     defaults to localCheckpoint (lineage cut).
+
+    Hybrid execution: when the (deduped) edge set fits comfortably on
+    the driver (<= driver_max_edges), a local union-find answers in one
+    collect — iterative Spark jobs on a tiny graph are pure scheduler
+    overhead. Above the threshold the alternating large-star/small-star
+    loop runs distributed; set driver_max_edges=0 to force it (tests
+    do). Both paths produce identical output (cluster_id = min id).
     """
     spark = edges.sparkSession
     if checkpoint_fn is None:
@@ -56,14 +64,23 @@ def connected_components(
         .dropDuplicates(["u", "v"])
     )
 
+    e = checkpoint_fn(e, -1)
+    stats_prev = _edge_stats(e)
+    if driver_max_edges and stats_prev["n"] <= driver_max_edges:
+        return _driver_union_find(spark, e)
+
     for i in range(max_iter):
         e2 = _small_star(_large_star(e))
         e2 = checkpoint_fn(e2.dropDuplicates(["u", "v"]), i)
-        # fixpoint: edge multiset unchanged (cheap symmetric-difference count)
-        delta = e2.exceptAll(e).limit(1).count() + e.exceptAll(e2).limit(1).count()
+        # fixpoint: count + order-insensitive 64-bit content checksum in
+        # ONE job (vs two exceptAll set-difference shuffles). A checksum
+        # collision passing as convergence needs a 2^-64 event on a
+        # multiset that also kept its cardinality — negligible.
+        stats = _edge_stats(e2)
         e = e2
-        if delta == 0:
+        if stats == stats_prev:
             break
+        stats_prev = stats
 
     # after convergence every v points at its component min u
     comp = e.select(F.col("v").alias("id"), F.col("u").alias("cluster_id"))
@@ -74,6 +91,50 @@ def connected_components(
         .withColumn("cluster_id", F.col("id"))
     )
     return comp.unionByName(roots).dropDuplicates(["id"])
+
+
+def _edge_stats(e: DataFrame) -> dict:
+    row = e.agg(
+        F.count("*").alias("n"),
+        # decimal(38,0) sum: long sums overflow under ANSI mode
+        F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("checksum"),
+    ).collect()[0]
+    return {"n": row["n"], "checksum": row["checksum"]}
+
+
+def _driver_union_find(spark, e: DataFrame) -> DataFrame:
+    """Exact local union-find over a collected small edge list."""
+    pairs = [(r["u"], r["v"]) for r in e.collect()]
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in pairs:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    # canonical root = min id per component
+    members: dict = {}
+    for x in list(parent):
+        members.setdefault(find(x), []).append(x)
+    rows = []
+    for root, ms in members.items():
+        cid = min(ms)
+        rows.extend((m, cid) for m in ms)
+    schema = "id string, cluster_id string"
+    field = e.schema["u"].dataType.simpleString()
+    if field != "string":
+        schema = f"id {field}, cluster_id {field}"
+    return spark.createDataFrame(rows or [], schema)
 
 
 def _neighborhoods(e: DataFrame) -> DataFrame:

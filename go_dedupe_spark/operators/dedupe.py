@@ -53,17 +53,19 @@ def minhash_lsh_pairs(
     shingle -> minhash -> band -> bucket self-join. Returns distinct
     (id_a, id_b) with id_a < id_b. ``scope_col`` (e.g. lang) prefixes
     every band key so buckets never cross scopes."""
-    toks = word_tokens(F.col(text_col))
-    keys = minhash_band_keys(toks, num_hashes=num_hashes, band_rows=band_rows,
-                             prefix="lsh")
+    toked = df.select(
+        F.col(id_col).alias("id"),
+        word_tokens(F.col(text_col)).alias("_toks"),
+        *([F.col(scope_col).cast("string").alias("_scope")] if scope_col else []),
+    )
+    keys = minhash_band_keys(F.col("_toks"), num_hashes=num_hashes,
+                             band_rows=band_rows, prefix="lsh")
     if scope_col:
-        keyed = df.select(
-            F.col(id_col).alias("id"),
-            F.explode(keys).alias("k0"),
-            F.col(scope_col).cast("string").alias("_scope"),
+        keyed = toked.select(
+            "id", F.explode(keys).alias("k0"), "_scope"
         ).select("id", F.concat(F.col("_scope"), F.lit(":"), F.col("k0")).alias("block_key"))
     else:
-        keyed = df.select(F.col(id_col).alias("id"), F.explode(keys).alias("block_key"))
+        keyed = toked.select(F.col("id"), F.explode(keys).alias("block_key"))
     a, b = keyed.alias("a"), keyed.alias("b")
     return (
         a.join(b, (F.col("a.block_key") == F.col("b.block_key"))
@@ -76,26 +78,31 @@ def minhash_lsh_pairs(
 # ----------------------------------------------------------------- SimHash
 
 
-def simhash(text_col: Column, bits: int = 16) -> Column:
-    """SimHash over word tokens as a native Column: per-bit majority
-    vote of token md5 hashes. bits <= 32 (uses a 60-bit md5-prefix
-    token hash; bit i of each token's hash votes +1/-1)."""
-    toks = word_tokens(text_col)
-    hashes = F.transform(toks, token_hash64)
-    def vote_fn(b: int):
-        # closure factory: a default-arg lambda would change arity and
-        # break pyspark's aggregate() lambda introspection
-        return lambda acc, h: acc + F.shiftright(h, b).bitwiseAND(F.lit(1))
+def simhash_column(df: DataFrame, id_col: str, text_col: str,
+                   bits: int = 16) -> DataFrame:
+    """-> (id, simhash): per-bit majority vote of token md5 hashes.
 
-    bit_cols = []
+    Relational shape: explode tokens -> ONE 60-bit hash per token ->
+    per-bit vote columns (cheap bit ops on the single hash) -> groupBy
+    id with map-side partial sums. A pure column-expression formulation
+    would re-evaluate the token-hash array once per bit aggregate
+    (16x the tokenizer + md5 work per row)."""
+    toked = df.select(
+        F.col(id_col).alias("id"),
+        word_tokens(F.col(text_col)).alias("toks"),
+    )
+    ex = toked.select(
+        "id", F.size("toks").alias("n_toks"), F.explode("toks").alias("tok")
+    ).withColumn("h", token_hash64(F.col("tok")))
+    votes = ex.groupBy("id", "n_toks").agg(
+        *[F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1))).alias(f"v{b}")
+          for b in range(bits)]
+    )
+    sim = None
     for b in range(bits):
-        votes = F.aggregate(hashes, F.lit(0).cast("long"), vote_fn(b))
-        bit = (votes * 2 > F.size(toks)).cast("long")
-        bit_cols.append(F.shiftleft(bit, b))
-    out = bit_cols[0]
-    for c in bit_cols[1:]:
-        out = out + c
-    return out
+        bit = F.shiftleft((F.col(f"v{b}") * 2 > F.col("n_toks")).cast("long"), b)
+        sim = bit if sim is None else sim + bit
+    return votes.select("id", sim.alias("simhash"))
 
 
 def simhash_duplicates(df: DataFrame, id_col: str = "doc_id",
@@ -104,8 +111,7 @@ def simhash_duplicates(df: DataFrame, id_col: str = "doc_id",
     distance needs banded simhash; exact-bucket is the scalable first
     pass). Returns (simhash, canonical_id, n_docs)."""
     return (
-        df.select(F.col(id_col).alias("id"),
-                  simhash(F.col(text_col), bits).alias("simhash"))
+        simhash_column(df, id_col, text_col, bits)
         .groupBy("simhash")
         .agg(F.min("id").alias("canonical_id"), F.count("*").alias("n_docs"))
         .where(F.col("n_docs") > 1)
@@ -129,13 +135,22 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"),
         F.array_distinct(char_ngrams(text_col, n)).alias("grams"),
     )
-    a = grams.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a"))
-    b = grams.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b"))
+    # gram vectors are a per-doc dimension; broadcast when the doc table
+    # is small relative to the candidate pair set (typical post-LSH)
+    a = F.broadcast(grams.select(F.col("id").alias("id_a"),
+                                 F.col("grams").alias("grams_a")))
+    b = F.broadcast(grams.select(F.col("id").alias("id_b"),
+                                 F.col("grams").alias("grams_b")))
     inter = F.size(F.array_intersect("grams_a", "grams_b"))
     union = F.size(F.array_union("grams_a", "grams_b"))
     jac = F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
+    # explicit repartition before the CPU-heavy per-pair array ops: AQE
+    # coalesces the candidate shuffle by SIZE (a few MB -> ~1 partition)
+    # and would serialize the scoring onto one core
+    par = candidate_pairs.sparkSession.sparkContext.defaultParallelism
     return (
-        candidate_pairs.join(a, "id_a").join(b, "id_b")
+        candidate_pairs.repartition(par, "id_a")
+        .join(a, "id_a").join(b, "id_b")
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )

@@ -41,7 +41,16 @@ def candidate_pairs(
     Pairs from mega-blocks are generated within deterministic salted
     sub-blocks of ~salt_cap members (bounded recall loss, documented in
     the ``salted`` flag — north_rule requires explicit skew splitting).
+
+    The input is persisted: this plan references ``blocks`` six times
+    (histogram, size-join, both self-join sides x normal/mega) and
+    would otherwise recompute the upstream MinHash DAG each time. In
+    the checkpointed pipeline the input is already a parquet scan and
+    the persist is a cheap no-op win.
     """
+    from pyspark import StorageLevel
+
+    blocks = blocks.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = blocks.groupBy("block_key").agg(F.count("*").alias("n_ids"))
     sized = blocks.join(F.broadcast(sizes.where(F.col("n_ids") > max_block)),
                         "block_key", "left")

@@ -56,12 +56,14 @@ def score_pairs(
 ) -> DataFrame:
     """-> scores(id_a, id_b, jw_path, jaccard_content, cosine_ngram,
     score, is_match)."""
+    # two-step select: tokens materialize as a column BEFORE shingling —
+    # an inline tokenizer inside the shingle lambda re-runs per element
     side = records.select(
-        "id", "path", "content_sha256",
-        token_shingles(word_tokens(F.col("content")), n=SHINGLE_N).alias(
-            "content_tokens"
-        ),
-        F.col("content"),
+        "id", "path", "content_sha256", "content",
+        word_tokens(F.col("content")).alias("_toks"),
+    ).select(
+        "id", "path", "content_sha256", "content",
+        token_shingles(F.col("_toks"), n=SHINGLE_N).alias("content_tokens"),
     )
     a = side.select(
         F.col("id").alias("id_a"), F.col("path").alias("path_a"),
@@ -75,7 +77,12 @@ def score_pairs(
         F.col("content_tokens").alias("toks_b"),
         F.col("content").alias("content_b"),
     )
-    joined = pairs.join(a, "id_a").join(b, "id_b")
+    # repartition before the scoring joins: the pair set is small in
+    # bytes (two ids + key) so AQE would coalesce it to very few
+    # partitions, serializing the downstream UDF + array work; per-row
+    # cost here is CPU-bound, not size-bound
+    par = pairs.sparkSession.sparkContext.defaultParallelism
+    joined = pairs.repartition(par * 2, "id_a", "id_b").join(a, "id_a").join(b, "id_b")
 
     exact = F.col("sha_a") == F.col("sha_b")
     jw = F.when(exact, F.lit(1.0)).otherwise(

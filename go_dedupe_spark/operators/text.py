@@ -48,7 +48,9 @@ def bpe_ish_piece_count(text_col: str) -> Column:
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Adds n_tokens, mean_token_len, punct_ratio, stopword_ratio and a
     combined quality score in [0,1]."""
-    toks = word_tokens(F.col(text_col))
+    # materialize tokens once; the feature columns reference them ~4x
+    df = df.withColumn("_q_toks", word_tokens(F.col(text_col)))
+    toks = F.col("_q_toks")
     n_tok = F.size(toks)
     text_len = F.length(F.col(text_col))
     alnum_len = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9\s]", ""))
@@ -66,7 +68,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         + F.least(stop_ratio * 2, F.lit(1.0)) * 0.3
     )
     return df.select(
-        "*",
+        *[c for c in df.columns if c != "_q_toks"],
         n_tok.alias("n_tokens"),
         F.round(mean_len, 6).alias("mean_token_len"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
@@ -100,12 +102,25 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text", shingle_n: int = 4) -> DataFrame:
     """Document fingerprint: min + max md5 over word-shingles (a
     deterministic rolling-hash winnowing-lite) plus distinct-shingle
-    count — enough to detect containment/overlap candidates cheaply."""
-    sh = token_shingles(word_tokens(F.col(text_col)), n=shingle_n)
-    hashed = F.transform(F.array_distinct(sh), F.md5)
-    return df.select(
+    count — enough to detect containment/overlap candidates cheaply.
+
+    Shape notes (both matter ~10x each):
+    - tokens are materialized as a COLUMN before shingling: an inline
+      tokenizer expression inside the shingle transform() lambda would
+      be re-evaluated once PER ARRAY ELEMENT (regexp split x ~50/row);
+    - explode -> md5 -> groupBy(agg) instead of one nested array
+      expression, so each shingle hash computes exactly once and
+      map-side partial aggregation keeps the shuffle tiny."""
+    toked = df.select(
         F.col(id_col).alias("id"),
-        F.array_min(hashed).alias("fp_min"),
-        F.array_max(hashed).alias("fp_max"),
-        F.size(hashed).alias("n_shingles"),
+        word_tokens(F.col(text_col)).alias("toks"),
+    )
+    sh = token_shingles(F.col("toks"), n=shingle_n)
+    exploded = toked.select(
+        "id", F.explode(F.array_distinct(sh)).alias("shingle")
+    ).select("id", F.md5("shingle").alias("h"))
+    return exploded.groupBy("id").agg(
+        F.min("h").alias("fp_min"),
+        F.max("h").alias("fp_max"),
+        F.count("*").alias("n_shingles"),
     )

@@ -193,3 +193,30 @@ def test_golden_variants(spark):
     repo_of = {r["id"]: r["repo"] for r in result.records.select("id", "repo").collect()}
     matched_repos = sorted(repo_of[i] for i in matched_with_base)
     assert matched_repos == ["org/g1", "org/g2"], matched_repos
+
+
+def test_distributed_cc_matches_driver_path(spark):
+    """Force the large-star/small-star loop (driver_max_edges=0) and
+    check it equals the driver union-find on a pathological chain +
+    star + cliques graph."""
+    from go_dedupe_spark.operators.components import connected_components
+
+    edges = (
+        [(f"n{i:03d}", f"n{i+1:03d}") for i in range(0, 40)]      # long chain
+        + [("s000", f"s{i:03d}") for i in range(1, 20)]            # star
+        + [(f"c{i:02d}", f"c{j:02d}") for i in range(5) for j in range(i + 1, 5)]
+        + [("z001", "z002")]
+    )
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    dist = {
+        (r["id"], r["cluster_id"])
+        for r in connected_components(df, driver_max_edges=0).collect()
+    }
+    drv = {
+        (r["id"], r["cluster_id"])
+        for r in connected_components(df, driver_max_edges=10**9).collect()
+    }
+    assert dist == drv
+    # chain collapses to min element
+    assert ("n040", "n000") in dist
+    assert ("s019", "s000") in dist
