@@ -23,7 +23,13 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import DoubleType
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    FloatType,
+    StructField,
+    StructType,
+)
 
 # ---------------------------------------------------------------- tokenizers
 
@@ -177,6 +183,29 @@ def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(_jaro_winkler_batch(a, b))
 
 
+@pandas_udf(StructType([
+    StructField("jw", DoubleType()),
+    StructField("cos", DoubleType()),
+]))
+def path_vec_scores_udf(pa: pd.Series, pb: pd.Series,
+                        va: pd.Series, vb: pd.Series) -> pd.DataFrame:
+    """One Arrow pass computing BOTH pairwise features: Jaro-Winkler on
+    the path strings and cosine (= dot, vectors pre-normalized by
+    hashed_ngram_vector_udf) via a single numpy einsum per batch.
+
+    Why one UDF: a Catalyst higher-order-function dot product
+    (zip_with + aggregate) is interpreted, not codegen'd — measured
+    ~10x the per-pair cost of this batched numpy path at dim 256."""
+    jw = _jaro_winkler_batch(pa, pb)
+    ma = np.array(va.tolist(), dtype="float64")
+    mb = np.array(vb.tolist(), dtype="float64")
+    if ma.size == 0:
+        cos = np.zeros(len(pa))
+    else:
+        cos = np.einsum("ij,ij->i", ma, mb)
+    return pd.DataFrame({"jw": jw, "cos": cos})
+
+
 # ------------------------------------------------------------ token Jaccard
 
 
@@ -220,7 +249,9 @@ def token_jaccard_expr(a: str, b: str) -> Column:
 # --------------------------------------------- hashed n-gram cosine (X1+X2)
 
 
-HASH_DIM = 256
+# 128 dims keeps the labeled-fixture separation (hard-neg cosine <=
+# 0.83 vs near >= 0.90 at n=5) at half the per-pair bytes of 256
+HASH_DIM = 128
 NGRAM_N = 5
 
 
@@ -237,6 +268,22 @@ def _hash_vector(text: str, n: int = NGRAM_N, dim: int = HASH_DIM) -> np.ndarray
         h = int.from_bytes(hashlib.md5(g.encode()).digest()[:4], "big")
         v[h % dim] += 1.0
     return v
+
+
+@pandas_udf(ArrayType(FloatType()))
+def hashed_ngram_vector_udf(texts: pd.Series) -> pd.Series:
+    """Per-RECORD normalized hashed n-gram vector (Arrow-batched).
+
+    Computing the vector once per record and taking native dot products
+    per pair replaces the per-pair variant below, which re-hashed every
+    n-gram of both sides for every candidate pair — O(pairs x grams)
+    python hashing vs O(records x grams)."""
+    out = []
+    for t in texts:
+        v = _hash_vector(t if t is not None else "")
+        n = np.linalg.norm(v)
+        out.append((v / n if n > 0 else v).astype("float32").tolist())
+    return pd.Series(out)
 
 
 @pandas_udf(DoubleType())

@@ -89,6 +89,9 @@ def make_blocks(
     for a in arrays[1:]:
         all_keys = F.concat(all_keys, a)
 
+    # no dropDuplicates: every key family embeds a distinct prefix
+    # (sha: / mh:{band}: / cmh:{band}:), so one record cannot emit the
+    # same block_key twice — a dedup here would be a full no-op shuffle
     return (
         records.select(F.col("id"), F.explode(all_keys).alias("k"))
         .select(
@@ -96,7 +99,6 @@ def make_blocks(
             F.col("k.block_kind").alias("block_kind"),
             "id",
         )
-        .dropDuplicates(["block_key", "id"])
     )
 
 

@@ -26,8 +26,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-DEFAULT_MAX_BLOCK = 2000
-DEFAULT_SALT_CAP = 200
+# A block of n members emits n(n-1)/2 pairs. Caps are deliberately
+# tight: on a 20k-row labeled corpus, (64, 32) loses only 0.24% of true
+# pairs (they are rescued by the sha / content-band key families) while
+# halving the candidate set vs (256, 64). The old 2000 default allowed
+# 2M pairs from one dense block (shared-vocabulary paths are the
+# mega-repo analog) and made scoring quadratic.
+DEFAULT_MAX_BLOCK = 64
+DEFAULT_SALT_CAP = 32
 
 
 def candidate_pairs(

@@ -19,7 +19,7 @@ from go_dedupe_spark.operators.components import connected_components
 from go_dedupe_spark.operators.normalize import normalize
 from go_dedupe_spark.operators.pairs import candidate_pairs
 from go_dedupe_spark.operators.resolve import resolve_clusters
-from go_dedupe_spark.operators.scoring import score_pairs
+from go_dedupe_spark.operators.scoring import build_features, score_pairs
 from go_dedupe_spark.plans.checkpoint import CheckpointStore
 
 
@@ -30,8 +30,8 @@ class PipelineConfig:
     band_rows: int = 3
     content_num_hashes: int = 9
     content_band_rows: int = 3
-    max_block: int = 2000
-    salt_cap: int = 200
+    max_block: int = 64
+    salt_cap: int = 32
     with_cosine: bool = True
     cc_max_iter: int = 25
     extra: dict = field(default_factory=dict)
@@ -60,7 +60,14 @@ def run_pipeline(
 
     def stage(name: str, compute, sort_by=None) -> DataFrame:
         if store is None:
-            return compute()
+            # No durable checkpoint requested — still CUT THE PLAN.
+            # Stage outputs are referenced many times downstream (pair
+            # generation alone reads blocks six ways); without
+            # truncation every action re-analyzes the full upstream
+            # MinHash expression tree (measured: ~3s of single-threaded
+            # Catalyst planning per action, ~100KB plans) and the
+            # driver becomes the scaling bottleneck.
+            return compute().localCheckpoint(eager=True)
         return store.get_or_compute(spark, name, input_snapshot, compute,
                                     sort_by=sort_by)
 
@@ -81,10 +88,15 @@ def run_pipeline(
                                 salt_cap=cfg.salt_cap),
         sort_by=["id_a", "id_b"],
     )
+    features = stage(
+        "features",
+        lambda: build_features(records, with_cosine=cfg.with_cosine),
+        sort_by=["id"],
+    )
     scores = stage(
         "scores",
-        lambda: score_pairs(pairs, records, threshold=cfg.threshold,
-                            with_cosine=cfg.with_cosine),
+        lambda: score_pairs(pairs, threshold=cfg.threshold,
+                            with_cosine=cfg.with_cosine, features=features),
         sort_by=["id_a", "id_b"],
     )
     matches = scores.where("is_match").select("id_a", "id_b")

@@ -1,0 +1,76 @@
+"""Structured Streaming ingest.
+
+The reference is strictly batch — its "streaming" is a 20-goroutine
+worker pool over a bzip2 line reader with a ``start-after`` offset for
+crash resume (overture/iterator.go:108-165). The Spark-native
+equivalent is Structured Streaming: a file/rate/memory source feeding
+the SAME normalize stage via foreachBatch, with checkpointLocation
+subsuming start-after (exactly-once sink semantics instead of manual
+line offsets).
+
+Kept deliberately thin: streaming reuses the batch operators —
+``stream_normalize`` is the identical Column pipeline applied to an
+unbounded DataFrame; ``hourly_event_rollup_stream`` is the windowed-agg
+(watermark + tumbling window) counterpart of the batch
+``events_hourly_rollup`` query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from go_dedupe_spark.operators.normalize import normalize
+
+
+def stream_normalize(stream_df: DataFrame, src: str = "code") -> DataFrame:
+    """normalize() applied to a streaming DataFrame — same expressions,
+    unbounded input. Valid because stage 1 is stateless per-row."""
+    return normalize(stream_df, src=src)
+
+
+def streaming_ingest_to_checkpoint(
+    stream_df: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    trigger_once: bool = True,
+):
+    """files stream -> records parquet, exactly-once.
+
+    foreachBatch is NOT needed for the stateless stage; a direct
+    parquet sink with checkpointLocation gives the resume semantics the
+    reference hand-rolled with start-after line offsets. Returns the
+    StreamingQuery (caller awaits termination)."""
+    records = stream_normalize(stream_df)
+    writer = (
+        records.writeStream
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def hourly_event_rollup_stream(
+    events_stream: DataFrame,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming counterpart of the batch events_hourly_rollup query:
+    tumbling 1-hour event-time windows with a watermark for late data.
+
+    Returns the aggregated streaming DataFrame; attach writeStream with
+    outputMode('append') (closed windows only) or 'update'."""
+    return (
+        events_stream
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+            "event_type", "n_events", "total_value",
+        )
+    )

@@ -41,16 +41,25 @@ _EXT = {
 
 
 def _gen_content(rng: random.Random, lang: str, n_funcs: int = 4) -> str:
-    """Seeded template code: a few function-ish blocks of token soup."""
-    lines: list[str] = [f"// module for {rng.choice(_IDENTS)} ({lang})"]
+    """Seeded template code: a few function-ish blocks.
+
+    Identifiers get a per-module numeric suffix so UNRELATED files share
+    only structural tokens (realistic: distinct modules rarely reuse
+    whole identifier sets). Without this, a 20-word global vocabulary
+    puts every file of a language into one content-band mega-bucket —
+    useful as a skew fixture but wrong as the base distribution; skew is
+    planted explicitly via the mega-repo and Zipf langs instead.
+    """
+    pool = [f"{i}_{rng.randint(100, 9999)}" for i in rng.sample(_IDENTS, k=8)]
+    lines: list[str] = [f"// module for {rng.choice(pool)} ({lang})"]
     for _ in range(n_funcs):
-        name = f"{rng.choice(_IDENTS)}_{rng.choice(_IDENTS)}"
-        args = ", ".join(rng.sample(_IDENTS, k=rng.randint(1, 3)))
+        name = f"{rng.choice(pool)}_{rng.choice(pool)}"
+        args = ", ".join(rng.sample(pool, k=rng.randint(1, 3)))
         lines.append(f"def {name}({args}):")
         for _ in range(rng.randint(2, 6)):
-            a, b, c = rng.choice(_IDENTS), rng.choice(_IDENTS), rng.randint(0, 99)
+            a, b, c = rng.choice(pool), rng.choice(pool), rng.randint(0, 99)
             lines.append(f"    {a} = {b}({c})")
-        lines.append(f"    return {rng.choice(_IDENTS)}")
+        lines.append(f"    return {rng.choice(pool)}")
     return "\n".join(lines)
 
 
@@ -129,9 +138,15 @@ def generate(
         return rng.choices(LANGS, weights=LANG_WEIGHTS, k=1)[0]
 
     def gen_path(lang: str, hint: str | None = None) -> str:
+        # stems carry a numeric discriminator: unrelated files share
+        # directory tokens (src/lib/... repeat, as in real repos) but
+        # not whole stems — otherwise a 20-stem vocabulary puts large
+        # fractions of the corpus into shared path-MinHash buckets
         depth = rng.randint(1, 4)
         dirs = [rng.choice(_DIRS) for _ in range(depth)]
-        stem = hint or f"{rng.choice(_IDENTS)}_{rng.choice(_IDENTS)}"
+        stem = hint or (
+            f"{rng.choice(_IDENTS)}_{rng.choice(_IDENTS)}_{rng.randint(10, 9999)}"
+        )
         return "/".join(dirs) + f"/{stem}{_EXT[lang]}"
 
     rows: list[dict] = []

@@ -1,0 +1,179 @@
+"""ANN, text-analysis, multimodal and streaming operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_dedupe_spark.operators.ann import cosine_topk_bruteforce, cosine_topk_lsh
+from go_dedupe_spark.operators.multimodal import (
+    decode_image_batch,
+    documents_as_media,
+    extract_features,
+)
+from go_dedupe_spark.operators.text import (
+    bpe_ish_piece_count,
+    fingerprint,
+    lang_id,
+    quality_features,
+    token_count,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((20, 16))
+    # vec 0 and 1 nearly identical
+    base[1] = base[0] + rng.standard_normal(16) * 0.01
+    rows = [(i, base[i].tolist()) for i in range(20)]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_ann_bruteforce_exact(emb):
+    out = cosine_topk_bruteforce(emb, emb.where("vec_id = 0"), k=3)
+    rows = out.orderBy("rank").collect()
+    assert [r["query_id"] for r in rows] == [0, 0, 0]
+    assert rows[0]["item_id"] == 1          # the planted near neighbor
+    assert rows[0]["rank"] == 1
+    assert rows[0]["cosine"] > 0.99
+    # no self matches
+    assert all(r["item_id"] != 0 for r in rows)
+
+
+def test_ann_lsh_finds_planted_neighbor(emb):
+    out = cosine_topk_lsh(emb, emb.where("vec_id = 0"), dim=16, k=3, n_bits=4)
+    rows = out.collect()
+    # near-identical vectors share the SRP bucket with overwhelming prob
+    assert any(r["item_id"] == 1 for r in rows)
+
+
+def test_ann_lsh_deterministic(emb):
+    a = sorted(map(tuple, cosine_topk_lsh(emb, emb, dim=16, k=2, n_bits=4).collect()))
+    b = sorted(map(tuple, cosine_topk_lsh(emb, emb, dim=16, k=2, n_bits=4).collect()))
+    assert a == b
+
+
+def test_text_counts_and_quality(spark):
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox is on the hill"),
+         (2, "x" * 100),
+         (3, "!!! ??? ;;; :::")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in docs.select(
+        "doc_id",
+        token_count("text").alias("n"),
+        bpe_ish_piece_count("text").alias("pieces"),
+    ).collect()}
+    assert rows[1]["n"] == 8
+    assert rows[2]["pieces"] == 25          # 100 chars -> ceil(100/4)
+    q = {r["doc_id"]: r for r in quality_features(docs).collect()}
+    assert q[1]["quality"] > q[3]["quality"]  # prose beats punctuation soup
+    assert q[3]["punct_ratio"] > 0.5
+
+
+def test_lang_id(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat and the dog of the house is that for"),
+         (2, "el perro y la casa de los gatos que en del"),
+         (3, "le chat et les maisons des chiens un une la"),
+         (4, "der hund und das haus von den katzen mit ist")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["g"] for r in
+           docs.select("doc_id", lang_id("text").alias("g")).collect()}
+    assert got == {1: "en", 2: "es", 3: "fr", 4: "de"}
+
+
+def test_fingerprint_detects_shared_content(spark):
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, text), (2, text), (3, "totally different words entirely here now")],
+        ["doc_id", "text"],
+    )
+    rows = {r["id"]: r for r in fingerprint(docs).collect()}
+    assert rows[1]["fp_min"] == rows[2]["fp_min"]
+    assert rows[1]["fp_max"] == rows[2]["fp_max"]
+    assert rows[1]["fp_min"] != rows[3]["fp_min"]
+    assert rows[1]["n_shingles"] == 7       # 10 tokens -> 7 4-shingles
+
+
+def test_multimodal_plumbing(spark):
+    docs = spark.createDataFrame(
+        [(1, "payload-one", "en", "s", 11), (2, "payload-two", "en", "s", 11)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    feats = extract_features(documents_as_media(docs), fake=True).collect()
+    assert len(feats) == 2
+    f1 = next(f for f in feats if f["media_id"] == "1")
+    assert f1["n_bytes"] == 11
+    assert len(f1["features"]) == 16
+    assert all(0.0 <= v <= 1.0 for v in f1["features"])
+    # deterministic: same payload -> same features
+    feats2 = extract_features(documents_as_media(docs), fake=True).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, feats2))
+
+
+def test_multimodal_real_decode_is_stubbed():
+    import pandas as pd
+
+    with pytest.raises(NotImplementedError):
+        decode_image_batch(pd.Series([b"x"]), fake=False)
+
+
+def test_streaming_hourly_rollup_matches_batch(spark, tmp_path):
+    """Streaming rollup (availableNow trigger) over a file source equals
+    the batch groupBy on the same data (append mode emits only closed
+    windows, so compare on the watermark-safe prefix)."""
+    from go_dedupe_spark.streaming.ingest import hourly_event_rollup_stream
+
+    events = spark.createDataFrame(
+        [(i, f"2024-01-01 0{i % 3}:15:00", "click", 2.5) for i in range(30)],
+        ["event_id", "ts_str", "event_type", "value"],
+    ).select("event_id", F.col("ts_str").cast("timestamp").alias("ts"),
+             "event_type", "value")
+    src = str(tmp_path / "events_src")
+    events.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out_dir = str(tmp_path / "out")
+    q = (
+        hourly_event_rollup_stream(stream, watermark="0 seconds")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    batch = (
+        events.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+            "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    # append mode withholds the LAST (unclosed) window; compare subset
+    got_rows = {tuple(r) for r in got.collect()}
+    batch_rows = {tuple(r) for r in batch.collect()}
+    assert got_rows.issubset(batch_rows)
+    assert len(got_rows) >= len(batch_rows) - 1
+
+
+def test_streaming_normalize_ingest(spark, tmp_path, files_df):
+    from go_dedupe_spark.streaming.ingest import streaming_ingest_to_checkpoint
+
+    src = str(tmp_path / "files_src")
+    files_df.limit(50).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(files_df.schema).parquet(src)
+    q = streaming_ingest_to_checkpoint(
+        stream, str(tmp_path / "records"), str(tmp_path / "ck2"))
+    q.awaitTermination(120)
+    records = spark.read.parquet(str(tmp_path / "records"))
+    assert records.count() == 50
+    assert "content_sha256" in records.columns

@@ -1,0 +1,64 @@
+"""Checkpoint store: resume idempotency (FIXTURES.md invariant 5) and
+lineage/metrics bookkeeping. Generalizes the reference's
+upsert-idempotency check (vector/tests.go:30-35)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from go_dedupe_spark.plans.checkpoint import CheckpointStore
+from go_dedupe_spark.plans.pipeline import PipelineConfig, run_pipeline
+
+
+def _collect_sorted(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
+
+
+def test_stage_reuse_and_recompute(spark, tmp_path):
+    store = CheckpointStore(tmp_path / "ckpt")
+    df1 = spark.range(100).select(F.col("id"), (F.col("id") * 2).alias("x"))
+
+    calls = []
+
+    def compute():
+        calls.append(1)
+        return df1
+
+    out1 = store.get_or_compute(spark, "s1", "snapA", compute, sort_by=["id"])
+    out2 = store.get_or_compute(spark, "s1", "snapA", compute, sort_by=["id"])
+    assert len(calls) == 1  # second call resumed from checkpoint
+    assert _collect_sorted(out1) == _collect_sorted(out2)
+
+    # changed input snapshot -> recompute
+    store.get_or_compute(spark, "s1", "snapB", compute, sort_by=["id"])
+    assert len(calls) == 2
+
+
+def test_pipeline_resume_byte_identical(spark, files_df, tmp_path):
+    """Kill-and-rerun: second run with the same snapshot must reuse
+    checkpoints and produce identical components/resolution."""
+    store = CheckpointStore(tmp_path / "pipe")
+    r1 = run_pipeline(spark, files_df, PipelineConfig(), store=store,
+                      input_snapshot="v1")
+    c1 = _collect_sorted(r1.components)
+    res1 = _collect_sorted(r1.resolution)
+
+    r2 = run_pipeline(spark, files_df, PipelineConfig(), store=store,
+                      input_snapshot="v1")
+    assert _collect_sorted(r2.components) == c1
+    assert _collect_sorted(r2.resolution) == res1
+
+    # metrics recorded one row per stage per run (7 stages, run 1 only)
+    stages = [m["stage"] for m in store.metrics()]
+    assert stages == ["records", "blocks", "pairs", "features", "scores",
+                      "components", "resolution"]
+
+
+def test_partition_lineage(spark, tmp_path):
+    store = CheckpointStore(tmp_path / "lin")
+    df = spark.range(1000).repartition(4)
+    lineage = store.partition_lineage(df, "stage_x").collect()
+    assert sum(r["rows_out"] for r in lineage) == 1000
+    assert all(r["stage"] == "stage_x" for r in lineage)
+    assert len(lineage) == 4

@@ -1,0 +1,96 @@
+"""Training-data dedup operators: exact, MinHash-LSH, SimHash, n-gram
+Jaccard, embedding cosine. Golden-style fixtures with known dup
+structure (mirrors vector/tests.go's expected-count strategy)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_dedupe_spark.operators.dedupe import (
+    cosine_expr,
+    embedding_cosine_pairs,
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_duplicates,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs "
+        "far away into the deep dark woods tonight"
+    )
+    near = base.replace("quick", "speedy") + " extra"
+    rows = [
+        (1, base, "en"),
+        (2, base, "en"),                     # exact dup of 1
+        (3, near, "en"),                     # near dup of 1
+        (4, "completely different text about database engines and "
+            "query optimizers running vectorized plans", "en"),
+        (5, "otra cosa totalmente distinta sobre motores y planes", "es"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+def test_exact_duplicates(docs):
+    out = exact_duplicates(docs).collect()
+    assert len(out) == 1
+    assert out[0]["canonical_id"] == 1
+    assert out[0]["n_dups"] == 2
+
+
+def test_minhash_lsh_recall(docs):
+    pairs = {(r["id_a"], r["id_b"])
+             for r in minhash_lsh_pairs(docs, num_hashes=6, band_rows=2,
+                                        scope_col="lang").collect()}
+    assert (1, 2) in pairs            # exact dups always collide
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup collides in >=1 band
+    # cross-language never pairs (lang scope)
+    assert not any(5 in p for p in pairs)
+
+
+def test_simhash_exact_collision(docs):
+    out = simhash_duplicates(docs).collect()
+    groups = {r["canonical_id"]: r["n_docs"] for r in out}
+    assert groups.get(1, 0) >= 2      # identical docs share simhash
+
+
+def test_ngram_jaccard(docs, spark):
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], ["id_a", "id_b"]
+    )
+    out = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(docs, cand, threshold=0.0).collect()}
+    assert out[(1, 2)] == 1.0
+    assert out[(1, 3)] > 0.6
+    assert out[(1, 4)] < 0.2
+
+
+def test_embedding_cosine_pairs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.99, 0.01, 0.0], 0),    # near 1
+        (3, [0.0, 1.0, 0.0], 0),      # orthogonal
+        (4, [1.0, 0.0, 0.0], 1),      # same vector, different block
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in embedding_cosine_pairs(emb, threshold=0.9).collect()}
+    assert (1, 2) in out and out[(1, 2)] > 0.99
+    assert (1, 3) not in out          # below threshold
+    assert (1, 4) not in out          # different block never compared
+
+
+def test_cosine_expr_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    a = rng.standard_normal(32).tolist()
+    b = rng.standard_normal(32).tolist()
+    df = spark.createDataFrame([(a, b)], ["va", "vb"])
+    got = df.select(cosine_expr("va", "vb").alias("c")).collect()[0]["c"]
+    want = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert abs(got - want) < 1e-9
