@@ -630,17 +630,57 @@ def ann_topk_bruteforce(spark, sf_dir):
     return cosine_topk_bruteforce(emb, queries_df, k=ANN_K)
 
 
-@query("ann_topk_lsh")  # no oracle: seeded-numpy SRP buckets (pandas UDF)
+ANN_BITS = 8
+ANN_DIM = 64
+
+_SQL_SRP_SIGN = (
+    "(CASE WHEN ('0x' || substr(md5(CAST(b AS VARCHAR) || ':' "
+    "|| CAST(j - 1 AS VARCHAR)), 1, 1))::BIGINT % 2 = 0 "
+    "THEN 1.0 ELSE -1.0 END)"
+)
+
+
+@query("ann_topk_lsh", f"""
+WITH e AS ({_SQL_EMB}),
+d AS (SELECT vec_id, v,
+        list_transform(range(0, {ANN_BITS}), b ->
+          list_sum(list_transform(range(1, len(v) + 1),
+            j -> v[j] * {_SQL_SRP_SIGN}))) AS dots
+      FROM e),
+bkt AS (SELECT vec_id, v,
+        CAST(list_sum(list_transform(range(0, {ANN_BITS}),
+          b -> CASE WHEN dots[b + 1] > 0 THEN (1::BIGINT << b)
+               ELSE 0::BIGINT END)) AS BIGINT) AS bucket
+        FROM d),
+q AS (SELECT vec_id AS query_id, v AS qv,
+        unnest(list_concat([bucket],
+          list_transform(range(0, {ANN_BITS}),
+            b -> xor(bucket, 1::BIGINT << b)))) AS bucket
+      FROM bkt WHERE vec_id < {ANN_NQ}),
+s AS (SELECT q.query_id, i.vec_id AS item_id,
+        round({_sql_cosine('q.qv', 'i.v')}, 6) AS cosine
+      FROM q JOIN bkt i USING (bucket)
+      WHERE i.vec_id <> q.query_id)
+SELECT query_id, item_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, item_id) AS BIGINT) AS rank
+FROM s QUALIFY rank <= {ANN_K}
+""")
 def ann_topk_lsh(spark, sf_dir):
-    """SRP-LSH-bucketed approximate top-k — the 100 TB path (one
-    equi-join instead of a cross join). Weak (rows-only) check."""
+    """SRP-LSH-bucketed approximate top-k with Hamming-1 multi-probe —
+    the 100 TB path (one equi-join instead of a cross join). Projection
+    signs are md5-derived so the oracle recomputes every bucket exactly
+    (reference analog: the per-block ANN accelerator,
+    vector/sqlite.go:368-437)."""
     from go_dedupe_spark.operators.ann import cosine_topk_lsh
 
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     queries_df = emb.where(F.col("vec_id") < ANN_NQ)
-    return cosine_topk_lsh(emb, queries_df, dim=64, k=ANN_K, n_bits=8)
+    out = cosine_topk_lsh(emb, queries_df, dim=ANN_DIM, k=ANN_K,
+                          n_bits=ANN_BITS)
+    return out.withColumn("rank", F.col("rank").cast("long"))
 
 
 # ======================================================= text analysis
@@ -951,11 +991,35 @@ def multimodal_meta(spark, sf_dir):
     )
 
 
-@query("multimodal_features")  # no oracle: mapInPandas feature extraction
+@query("multimodal_features", """
+WITH m AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id,
+         'image' AS kind,
+         octet_length(encode(text)) AS n_bytes,
+         sha256(text) AS sha
+  FROM documents)
+SELECT media_id, kind,
+       CAST(n_bytes AS BIGINT) AS n_bytes,
+       sha AS sha256,
+       array_to_string(list_transform(range(0, 16),
+           i -> printf('%.6f', ('0x' || substr(sha, 2 * i + 1, 2))::BIGINT / 255.0)),
+           ',') AS features_csv
+FROM m
+""")
 def multimodal_features(spark, sf_dir):
     """The mapInPandas decode/feature plumbing with the deterministic
-    fake decoder (real decode is stubbed — no media libs in container)."""
+    fake decoder (real decode is stubbed — no media libs in container).
+    The oracle reproduces the fake decoder in SQL: feature i is byte i
+    of sha256(payload) / 255.0, formatted '%.6f' (float64 — identical
+    strings in Python and DuckDB printf). Array columns are excluded
+    from the contract output (unhashable in the compare harness);
+    ``features_csv`` is the canonical scalar form."""
     from go_dedupe_spark.operators.multimodal import documents_as_media, extract_features
 
     docs = _t(spark, sf_dir, "documents")
-    return extract_features(documents_as_media(docs), fake=True)
+    feats = extract_features(documents_as_media(docs), fake=True)
+    return feats.select(
+        "media_id", "kind",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        "sha256", "features_csv",
+    )

@@ -9,18 +9,24 @@ kNN inside a block. Spark-native equivalents:
   Exact; cost = |Q| x |N| — fine when Q is small or N is blocked.
 - sign-random-projection LSH buckets (scale path): items and queries
   hash to the same bucket with probability rising in cosine; top-k is
-  computed within buckets only. Probes multiple adjacent buckets for
-  recall. Projection vectors are seeded (deterministic reruns).
+  computed within buckets only. Queries MULTI-PROBE: they join their
+  exact bucket plus every Hamming-1-adjacent bucket (n_bits + 1 probe
+  keys), recovering most of the recall lost to single-bucket banding.
+  Projection signs are md5-derived (sign(b, j) = parity of the first
+  hex digit of md5("b:j")) — deterministic across reruns AND exactly
+  reproducible in the DuckDB SQL oracle, unlike a seeded RNG matrix.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import StringType
+from pyspark.sql.types import LongType
 from pyspark.sql.window import Window
 
 from go_dedupe_spark.operators.dedupe import cosine_expr
@@ -58,23 +64,35 @@ def cosine_topk_bruteforce(
     )
 
 
-def _projection_matrix(dim: int, n_bits: int, seed: int = 42) -> np.ndarray:
-    rng = np.random.default_rng(seed)
-    return rng.standard_normal((dim, n_bits))
+def srp_signs(dim: int, n_bits: int) -> np.ndarray:
+    """Deterministic ±1 projection matrix (dim x n_bits): entry (j, b)
+    is +1 iff the first hex digit of md5("{b}:{j}") is even. The DuckDB
+    twin is ``CASE WHEN ('0x' || substr(md5(b || ':' || j), 1, 1))::INT
+    % 2 = 0 THEN 1 ELSE -1 END`` — bit-identical, so the oracle can
+    recompute every bucket."""
+    m = np.empty((dim, n_bits), dtype="float64")
+    for b in range(n_bits):
+        for j in range(dim):
+            h = hashlib.md5(f"{b}:{j}".encode()).hexdigest()
+            m[j, b] = 1.0 if int(h[0], 16) % 2 == 0 else -1.0
+    return m
 
 
-def make_srp_bucketer(dim: int, n_bits: int = 12, seed: int = 42):
+def make_srp_bucketer(dim: int, n_bits: int = 12):
     """Returns a pandas UDF mapping an embedding column to its
-    sign-random-projection bucket key (hex string of the sign bits).
-    Arrow-batched numpy matmul — one GEMM per batch, no per-row Python."""
-    proj = _projection_matrix(dim, n_bits, seed)
+    sign-random-projection bucket id (long; bit b set iff the b-th
+    projection is positive). Arrow-batched numpy matmul — one GEMM per
+    batch, no per-row Python."""
+    proj = srp_signs(dim, n_bits)
+    weights = (1 << np.arange(n_bits)).astype("int64")
 
-    @pandas_udf(StringType())
+    @pandas_udf(LongType())
     def srp_bucket(vecs: pd.Series) -> pd.Series:
-        mat = np.vstack(vecs.to_numpy())
+        mat = np.array(vecs.tolist(), dtype="float64")
+        if mat.size == 0:
+            return pd.Series([], dtype="int64")
         bits = (mat @ proj) > 0
-        vals = bits @ (1 << np.arange(n_bits))
-        return pd.Series([format(int(v), "x") for v in vals])
+        return pd.Series(bits @ weights)
 
     return srp_bucket
 
@@ -85,21 +103,34 @@ def cosine_topk_lsh(
     dim: int,
     k: int = 10,
     n_bits: int = 12,
-    seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multiprobe: bool = True,
 ) -> DataFrame:
     """LSH-bucketed approximate top-k: bucket items and queries by SRP
-    key, rank within buckets. Trades recall for one equi-join instead
-    of a cross join — the 100 TB path. Returns same schema as
-    brute-force (query_id, item_id, cosine, rank)."""
-    bucketer = make_srp_bucketer(dim, n_bits, seed)
+    bucket id, rank within buckets. Trades recall for one equi-join
+    instead of a cross join — the 100 TB path. With ``multiprobe`` each
+    query also probes all n_bits Hamming-1-adjacent buckets (the probe
+    explosion is on the small QUERY side only; the item table still
+    carries one row per item). Returns the brute-force schema
+    (query_id, item_id, cosine, rank)."""
+    bucketer = make_srp_bucketer(dim, n_bits)
     it = items.select(F.col(id_col).alias("item_id"),
                       F.col(vec_col).alias("ivec"),
                       bucketer(F.col(vec_col)).alias("bucket"))
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("qvec"),
                        bucketer(F.col(vec_col)).alias("bucket"))
+    if multiprobe:
+        # probe keys: exact bucket + flip of each single bit. Distinct
+        # longs, so one (query, item) pair can match at most one probe —
+        # no post-join dedup needed.
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << b).cast("long"))
+              for b in range(n_bits)],
+        )
+        q = q.select("query_id", "qvec", F.explode(probes).alias("bucket"))
     joined = it.join(q, "bucket").where(F.col("query_id") != F.col("item_id"))
     scored = joined.select(
         "query_id", "item_id",

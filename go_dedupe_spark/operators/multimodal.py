@@ -46,26 +46,43 @@ FEATURE_SCHEMA = StructType([
     StructField("n_bytes", IntegerType()),
     StructField("sha256", StringType()),
     StructField("features", ArrayType(FloatType())),
+    # canonical scalar form of ``features`` for oracle/hash comparison:
+    # array columns are unhashable in pandas-based canonicalizers, and
+    # float32 round-trips diverge from float64 at 6 decimals for 3 of
+    # the 256 byte values — so the csv is formatted from the float64
+    # values BEFORE the float32 downcast.
+    StructField("features_csv", StringType()),
 ])
 
 FEATURE_DIM = 16
 
 
-def _fake_decode(payload: bytes) -> np.ndarray:
-    """Deterministic fake 'decode': features from the payload digest.
-    Stands in for PIL.decode/resize/feature-extract."""
+def _fake_decode_f64(payload: bytes) -> np.ndarray:
+    """Deterministic fake 'decode': features from the payload digest,
+    in float64. Stands in for PIL.decode/resize/feature-extract."""
     d = hashlib.sha256(payload).digest()
-    return (np.frombuffer(d[:FEATURE_DIM], dtype=np.uint8) / 255.0).astype("float32")
+    return np.frombuffer(d[:FEATURE_DIM], dtype=np.uint8) / 255.0
+
+
+def _fake_decode(payload: bytes) -> np.ndarray:
+    return _fake_decode_f64(payload).astype("float32")
+
+
+def canonical_csv(feats_f64: np.ndarray) -> str:
+    """Cross-engine-stable string form: '%.6f' of each float64 feature
+    (DuckDB printf('%.6f', x) produces the identical string)."""
+    return ",".join(f"{float(x):.6f}" for x in feats_f64)
 
 
 def decode_image_batch(payloads: pd.Series, fake: bool = False) -> list[np.ndarray]:
-    """The stubbed decode seam. Real deployments: PIL/torchvision here."""
+    """The stubbed decode seam (float64 features). Real deployments:
+    PIL/torchvision here."""
     if not fake:
         raise NotImplementedError(
             "real image decode requires PIL/libvips — not in this container; "
             "pass fake=True for the deterministic stand-in"
         )
-    return [_fake_decode(p if isinstance(p, bytes) else str(p).encode())
+    return [_fake_decode_f64(p if isinstance(p, bytes) else str(p).encode())
             for p in payloads]
 
 
@@ -84,7 +101,8 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
                 "kind": pdf["kind"],
                 "n_bytes": [len(r) for r in raw],
                 "sha256": [hashlib.sha256(r).hexdigest() for r in raw],
-                "features": [f.tolist() for f in feats],
+                "features": [f.astype("float32").tolist() for f in feats],
+                "features_csv": [canonical_csv(f) for f in feats],
             })
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
