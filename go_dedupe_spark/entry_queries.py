@@ -123,10 +123,13 @@ def _blocks_cte() -> str:
         f"SELECT id, 'sha:' || lang || ':' || substr(content_sha256, 1, {SHA_PREFIX}) "
         f"AS block_key, 'sha' AS block_kind FROM sig"
     ]
+    # mh bands guard on n_toks > 0 (mirrors minhash_band_keys' empty-
+    # array rule: empty token arrays emit no band keys). cmh shingles
+    # are never empty (the CASE collapses short docs to one shingle).
     for b in range(mh_bands):
         selects.append(
             f"SELECT id, {_sql_band('mh', b, ER_R, 's')} AS block_key, "
-            f"'mh' AS block_kind FROM sig"
+            f"'mh' AS block_kind FROM sig WHERE n_toks > 0"
         )
     for b in range(cmh_bands):
         selects.append(
@@ -136,7 +139,7 @@ def _blocks_cte() -> str:
     union = " UNION ALL ".join(selects)
     return f"""
 sig AS (
-  SELECT id, lang, content_sha256,
+  SELECT id, lang, content_sha256, len(toks) AS n_toks,
          {_sql_sig(ER_NH, 'toks', 's')},
          {_sql_sig(CMH_NH, 'shingles', 'c')}
   FROM sh
@@ -234,15 +237,16 @@ def _doc_pairs(blocks: DataFrame) -> DataFrame:
 def _doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     records = _doc_records(spark, sf_dir)
     pairs = _doc_pairs(_doc_blocks(records))
-    # documents is a small dimension relative to the pair set -> broadcast
-    # both sides (the corpus-scale pipeline in operators/scoring.py keeps
-    # shuffle joins; here pairs >> records so this removes two shuffles)
-    x = F.broadcast(records.select(
+    # NO manual broadcast of the record sides: full records cannot
+    # broadcast at corpus scale. Plain shuffle joins here; AQE converts
+    # to broadcast at runtime when the measured side is small (the
+    # sf0.01/0.1 case) — same policy as operators/scoring.py.
+    x = records.select(
         F.col("id").alias("id_a"), F.col("path").alias("path_a"),
-        F.col("shingles").alias("sh_a")))
-    y = F.broadcast(records.select(
+        F.col("shingles").alias("sh_a"))
+    y = records.select(
         F.col("id").alias("id_b"), F.col("path").alias("path_b"),
-        F.col("shingles").alias("sh_b")))
+        F.col("shingles").alias("sh_b"))
     jw = jaro_winkler_udf(F.col("path_a"), F.col("path_b"))
     inter = F.size(F.array_intersect(F.array_distinct("sh_a"),
                                      F.array_distinct("sh_b")))
@@ -442,12 +446,14 @@ LSH_NH, LSH_R = 6, 3
 
 def _lsh_pairs_sql(salted: bool = False) -> str:
     bands = " UNION ALL ".join(
-        f"SELECT doc_id, {_sql_band('lsh', b, LSH_R, 's')} AS bk FROM sig"
+        f"SELECT doc_id, {_sql_band('lsh', b, LSH_R, 's')} AS bk FROM sig "
+        f"WHERE n_toks > 0"
         for b in range(LSH_NH // LSH_R)
     )
     base = f"""
 t AS (SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents),
-sig AS (SELECT doc_id, lang, {_sql_sig(LSH_NH, 'toks', 's')} FROM t),
+sig AS (SELECT doc_id, lang, len(toks) AS n_toks,
+        {_sql_sig(LSH_NH, 'toks', 's')} FROM t),
 e AS ({bands})"""
     if not salted:
         return base + """,
@@ -468,17 +474,19 @@ lp AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 
 
 @query("dedup_minhash_lsh", f"""
-WITH {_lsh_pairs_sql()}
+WITH {_lsh_pairs_sql(salted=True)}
 SELECT id_a, id_b FROM lp
 """)
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup candidate pairs: shingle -> minhash ->
-    band -> bucket self-join."""
+    band -> skew-capped bucket self-join (the salt cap lives INSIDE the
+    operator; the oracle reproduces the md5 salt exactly)."""
     from go_dedupe_spark.operators.dedupe import minhash_lsh_pairs
 
     docs = _t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=LSH_NH,
-                             band_rows=LSH_R, scope_col="lang")
+                             band_rows=LSH_R, scope_col="lang",
+                             max_block=ER_MAX_BLOCK, salt_cap=ER_SALT_CAP)
 
 
 SIMHASH_BITS = 16
@@ -510,39 +518,68 @@ def dedup_simhash(spark, sf_dir):
     return simhash_duplicates(docs, "doc_id", "text", bits=SIMHASH_BITS)
 
 
+SH_BITS, SH_BANDS, SH_MAXHAM = 60, 4, 8
+SH_WIDTH = SH_BITS // SH_BANDS
+SH_MASK = (1 << SH_WIDTH) - 1
+
+
+def _simhash_wide_sql() -> str:
+    """60-bit simhash via the explode shape (one md5 per token, not one
+    per token per bit) — mirrors operators.dedupe.simhash_column."""
+    sums = ", ".join(f"sum((h >> {b}) & 1) AS v{b}" for b in range(SH_BITS))
+    bits_expr = " + ".join(
+        f"(CASE WHEN 2 * v{b} > n_toks THEN (1::BIGINT << {b}) "
+        f"ELSE 0::BIGINT END)"
+        for b in range(SH_BITS)
+    )
+    return f"""
+t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+tk AS (SELECT doc_id, len(toks) AS n_toks, unnest(toks) AS tok
+       FROM t WHERE len(toks) > 0),
+th AS (SELECT doc_id, n_toks,
+       ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tk),
+v AS (SELECT doc_id, n_toks, {sums} FROM th GROUP BY doc_id, n_toks),
+s AS (SELECT doc_id, CAST({bits_expr} AS BIGINT) AS simhash FROM v)"""
+
+
+@query("dedup_simhash_hamming", f"""
+WITH {_simhash_wide_sql()},
+e AS (SELECT doc_id, simhash,
+        CAST(r.i AS VARCHAR) || ':' ||
+        CAST((simhash >> (r.i * {SH_WIDTH})) & {SH_MASK} AS VARCHAR) AS bk
+      FROM s CROSS JOIN range(0, {SH_BANDS}) r(i)),
+esz AS (SELECT bk, count(*) AS n FROM e GROUP BY bk),
+ek AS (
+  SELECT doc_id, simhash, bk FROM e JOIN esz USING (bk)
+  WHERE n <= {ER_MAX_BLOCK}
+  UNION ALL
+  SELECT doc_id, simhash, bk || '#' || CAST(
+      (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+       % CAST(ceil(n / {ER_SALT_CAP}.0) AS BIGINT)) AS VARCHAR) AS bk
+  FROM e JOIN esz USING (bk) WHERE n > {ER_MAX_BLOCK}
+),
+p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        a.simhash AS sa, b.simhash AS sb
+      FROM ek a JOIN ek b ON a.bk = b.bk AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM p WHERE bit_count(xor(sa, sb)) <= {SH_MAXHAM}
+""")
+def dedup_simhash_hamming(spark, sf_dir):
+    """Banded-Hamming SimHash near-dedup — 60-bit simhash, 4 bands of
+    15 bits (pigeonhole-complete for Hamming <= 3, high-recall to 8),
+    salt-capped band buckets, native bit_count verify. The standard
+    large-corpus near-dedup the exact-bucket dedup_simhash cannot do."""
+    from go_dedupe_spark.operators.dedupe import simhash_hamming_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_hamming_pairs(
+        docs, "doc_id", "text", bits=SH_BITS, bands=SH_BANDS,
+        max_hamming=SH_MAXHAM, max_block=ER_MAX_BLOCK, salt_cap=ER_SALT_CAP,
+    )
+
+
 NGRAM_JAC_N = 5
 NGRAM_JAC_T = 0.25
-
-
-def _salted_numeric_pairs(keyed: DataFrame, max_block: int,
-                          salt_cap: int) -> DataFrame:
-    """candidate_pairs' md5-salted mega-block split for NUMERIC ids
-    (keyed: (id, bk)): salt hashes the decimal string of the id so the
-    SQL oracle (md5(CAST(id AS VARCHAR))) reproduces it; id comparisons
-    stay numeric."""
-    from pyspark import StorageLevel
-
-    keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = keyed.groupBy("bk").agg(F.count("*").alias("n"))
-    sized = keyed.join(F.broadcast(sizes.where(F.col("n") > max_block)),
-                       "bk", "left")
-    normal = sized.where(F.col("n").isNull()).select("id", "bk")
-    n_salt = F.ceil(F.col("n") / F.lit(salt_cap)).cast("long")
-    mega = sized.where(F.col("n").isNotNull()).select(
-        "id",
-        F.concat(
-            F.col("bk"), F.lit("#"),
-            (F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10)
-             .cast("long") % n_salt).cast("string"),
-        ).alias("bk"),
-    )
-    k = normal.unionByName(mega)
-    a = k.select(F.col("id").alias("id_a"), "bk")
-    b = k.select(F.col("id").alias("id_b"), "bk")
-    return (
-        a.join(b, ["bk"]).where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b").distinct()
-    )
 
 
 @query("dedup_ngram_jaccard", f"""
@@ -561,20 +598,14 @@ SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= {NGRAM_JAC_T}
 def dedup_ngram_jaccard(spark, sf_dir):
     """Char-n-gram Jaccard verification over SKEW-CAPPED LSH candidates:
     LSH bands -> md5-salted mega-block split -> exact n-gram Jaccard.
-    Composes the engine's blocking, skew and scoring primitives."""
-    from go_dedupe_spark.functions.hashing import minhash_band_keys
-    from go_dedupe_spark.functions.similarity import word_tokens as wt
-    from go_dedupe_spark.operators.dedupe import ngram_jaccard_pairs
+    Composes the library operators directly (the salt cap lives inside
+    minhash_lsh_pairs)."""
+    from go_dedupe_spark.operators.dedupe import minhash_lsh_pairs, ngram_jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    keys = minhash_band_keys(wt(F.col("text")), num_hashes=LSH_NH,
-                             band_rows=LSH_R, prefix="lsh")
-    keyed = docs.select(
-        F.col("doc_id").alias("id"),
-        F.explode(keys).alias("k0"),
-        F.col("lang"),
-    ).select("id", F.concat(F.col("lang"), F.lit(":"), F.col("k0")).alias("bk"))
-    pairs = _salted_numeric_pairs(keyed, ER_MAX_BLOCK, ER_SALT_CAP)
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=LSH_NH,
+                              band_rows=LSH_R, scope_col="lang",
+                              max_block=ER_MAX_BLOCK, salt_cap=ER_SALT_CAP)
     return ngram_jaccard_pairs(docs, pairs, "doc_id", "text",
                                n=NGRAM_JAC_N, threshold=NGRAM_JAC_T)
 
@@ -1022,4 +1053,197 @@ def multimodal_features(spark, sf_dir):
         "media_id", "kind",
         F.col("n_bytes").cast("long").alias("n_bytes"),
         "sha256", "features_csv",
+    )
+
+
+# ================================================ source readers + parsers
+# (S1-S4/S7 + P1-P4 over committed fixture files; the oracle reads the
+# SAME files via DuckDB's read_json/read_csv. sf_dir is irrelevant —
+# these exercise the ingest seam, not the scale tables.)
+
+FIXTURES = "/root/repo/fixtures"
+
+
+@query("source_wof_geojson", f"""
+SELECT 'wof:id=' || CAST(properties."wof:id" AS VARCHAR) AS id,
+       properties."name" AS name,
+       properties."addr:full" AS address,
+       round(geometry.coordinates[1], 6) AS lon,
+       round(geometry.coordinates[2], 6) AS lat
+FROM read_json('{FIXTURES}/wof/*.geojson')
+WHERE properties."edtf:deprecated" IS NULL
+""")
+def source_wof_geojson(spark, sf_dir):
+    """S1 + P1 + F2: directory of one-feature GeoJSON files, deprecated
+    records excluded (whosonfirst/iterator.go:38-41), wof:id/name/
+    addr:full extraction (whosonfirst/parser.go:33-71)."""
+    from go_dedupe_spark.sources.readers import parse_wof_venue, read_geojson_dir
+
+    raw = read_geojson_dir(spark, f"{FIXTURES}/wof", exclude_deprecated=True)
+    return parse_wof_venue(raw).where("valid").select(
+        "id", "name", "address", "lon", "lat")
+
+
+@query("source_overture_places", f"""
+WITH r AS (SELECT properties.id AS rid,
+    properties.names.primary AS name,
+    flatten(list_transform(properties.addresses,
+      a -> list_filter([a.freeform, a.locality, a.region, a.country],
+                       x -> x IS NOT NULL AND x <> ''))) AS comps,
+    round(geometry.coordinates[1], 6) AS lon,
+    round(geometry.coordinates[2], 6) AS lat
+  FROM read_json('{FIXTURES}/overture_places.jsonl',
+                 format='newline_delimited'))
+SELECT 'ovtr:id=' || rid AS id, name,
+  CASE WHEN len(comps) > 0 THEN array_to_string(comps, ' ') END AS address,
+  lon, lat,
+  (rid IS NOT NULL AND name IS NOT NULL AND len(comps) > 0) AS valid,
+  CASE WHEN rid IS NULL THEN 'missing_id'
+       WHEN name IS NULL THEN 'missing_name'
+       WHEN len(comps) = 0 THEN 'missing_address'
+       ELSE '' END AS reason
+FROM r
+""")
+def source_overture_places(spark, sf_dir):
+    """S2 + P2 + F1: line-delimited Overture places, names.primary +
+    addresses[].{{freeform,locality,region,country}} join
+    (overture/parser.go:45-114); invalid records carried with a typed
+    quarantine reason instead of swallowed logs (errors.go:8-34)."""
+    from go_dedupe_spark.sources.readers import (
+        parse_overture_place,
+        read_line_delimited_json,
+    )
+
+    raw = read_line_delimited_json(spark, f"{FIXTURES}/overture_places.jsonl")
+    return parse_overture_place(raw)
+
+
+@query("source_atp_features", f"""
+WITH f AS (SELECT unnest(features) AS ft
+           FROM read_json('{FIXTURES}/atp_places.json')),
+r AS (SELECT ft.id AS rid, ft.properties."name" AS name,
+    list_filter([ft.properties."addr:street_address",
+                 ft.properties."addr:city", ft.properties."addr:state",
+                 ft.properties."addr:country"],
+                x -> x IS NOT NULL AND x <> '') AS comps,
+    round(ft.geometry.coordinates[1], 6) AS lon,
+    round(ft.geometry.coordinates[2], 6) AS lat FROM f)
+SELECT 'atp:id=' || rid AS id, name,
+  CASE WHEN len(comps) > 0 THEN array_to_string(comps, ' ') END AS address,
+  lon, lat,
+  (rid IS NOT NULL AND name IS NOT NULL AND len(comps) > 0) AS valid
+FROM r
+""")
+def source_atp_features(spark, sf_dir):
+    """S3 + P3: whole-file FeatureCollection fan-out (explode(features),
+    alltheplaces/iterator.go:62-132) + addr:street_address/city/state/
+    country extraction (alltheplaces/parser.go:32-37)."""
+    from go_dedupe_spark.sources.readers import (
+        parse_atp_venue,
+        read_feature_collections,
+    )
+
+    raw = read_feature_collections(spark, f"{FIXTURES}/atp_places.json")
+    return parse_atp_venue(raw).drop("reason")
+
+
+@query("source_ilms_csv", f"""
+WITH c AS (SELECT * FROM read_csv('{FIXTURES}/ilms.csv', header=true,
+                                  all_varchar=true)),
+r AS (SELECT MID, COMMONNAME,
+    list_filter([ADSTREET, ADCITY, ADSTATE, ADZIP],
+                x -> x IS NOT NULL AND x <> '') AS comps,
+    TRY_CAST(LONGITUDE AS DOUBLE) AS lon,
+    TRY_CAST(LATITUDE AS DOUBLE) AS lat
+  FROM c)
+SELECT 'ilms:id=' || MID AS id, COMMONNAME AS name,
+  CASE WHEN len(comps) > 0 THEN array_to_string(comps, ' ') END AS address,
+  round(lon, 6) AS lon, round(lat, 6) AS lat,
+  (MID IS NOT NULL AND COMMONNAME IS NOT NULL AND len(comps) > 0
+   AND lat IS NOT NULL AND lon IS NOT NULL
+   AND lat BETWEEN -90 AND 90 AND lon BETWEEN -180 AND 180) AS valid
+FROM r
+""")
+def source_ilms_csv(spark, sf_dir):
+    """S4 + P4 + F3: CSV rows -> records with coordinate-validity
+    quarantine (ilms/iterator.go:133-159 coord guards;
+    ilms/parser.go:31-36 address keys)."""
+    from go_dedupe_spark.sources.readers import parse_ilms_venue
+
+    raw = spark.read.csv(f"{FIXTURES}/ilms.csv", header=True)
+    return parse_ilms_venue(raw).drop("reason")
+
+
+@query("source_match_csv", f"""
+SELECT DISTINCT
+  least(source_id, target_id) || '-' || greatest(source_id, target_id)
+    AS pair_key,
+  least(source_id, target_id) AS id_lo,
+  greatest(source_id, target_id) AS id_hi
+FROM read_csv('{FIXTURES}/matches.csv', header=true, all_varchar=true)
+""")
+def source_match_csv(spark, sf_dir):
+    """S7 + C1 + A2/O3: re-read emitted match CSVs with canonical pair
+    ordering + symmetric dedup on read (process.go:60-127; the
+    sync.Map LoadOrStore collector, compare/database.go:156-174)."""
+    from go_dedupe_spark.sources.readers import read_match_csv
+
+    df = read_match_csv(spark, f"{FIXTURES}/matches.csv")
+    return df.select(
+        "pair_key",
+        F.least("source_id", "target_id").alias("id_lo"),
+        F.greatest("source_id", "target_id").alias("id_hi"),
+    ).distinct()
+
+
+# ================================================ resolution supersession
+
+
+@query("resolution_supersession", f"""
+WITH RECURSIVE {_records_cte()}, {_blocks_cte()}, {_pairs_cte()}, {_scores_cte()},
+m AS (SELECT id_a, id_b FROM sc WHERE score >= {ER_THRESHOLD}),
+edges AS (SELECT id_a AS u, id_b AS v FROM m
+          UNION SELECT id_b, id_a FROM m),
+reach(id, r) AS (
+  SELECT id, id FROM t
+  UNION
+  SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u
+),
+comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+mem AS (SELECT comp.id, comp.cluster_id, sh.content_sha256 AS commit
+        FROM comp JOIN sh ON sh.id = comp.id),
+surv AS (SELECT cluster_id,
+           max_by(id, commit || id) AS survivor_id,
+           list_sort(list(id)) AS member_ids
+         FROM mem GROUP BY cluster_id)
+SELECT mem.id, mem.cluster_id, surv.survivor_id,
+       mem.id = surv.survivor_id AS is_survivor,
+       CASE WHEN mem.id = surv.survivor_id THEN ''
+            ELSE surv.survivor_id END AS superseded_by,
+       CASE WHEN mem.id = surv.survivor_id
+            THEN coalesce(array_to_string(
+                 list_filter(surv.member_ids, x -> x <> surv.survivor_id), ','),
+                 '')
+            ELSE '' END AS supersedes
+FROM mem JOIN surv USING (cluster_id)
+""")
+def resolution_supersession(spark, sf_dir):
+    """C2 + C3 via the library resolver (operators/resolve.py):
+    per-cluster survivor by ordered (commit, id) key — max_by over a
+    struct — plus the supersedes / superseded_by edge arrays
+    (process.go:341-377), emitted as comma-joined strings (array
+    columns are unhashable in the compare harness). The documents
+    adapter uses content_sha256 as the commit surrogate (fixed-width,
+    so struct ordering == concat ordering in the oracle)."""
+    from go_dedupe_spark.operators.resolve import resolve_clusters
+
+    records = _doc_records(spark, sf_dir).withColumn(
+        "commit", F.col("content_sha256"))
+    comp = er_components(spark, sf_dir)
+    out = resolve_clusters(comp, records)
+    return out.select(
+        "id", "cluster_id", "survivor_id", "is_survivor",
+        F.coalesce(F.get("superseded_by", 0), F.lit(""))
+         .alias("superseded_by"),
+        F.array_join("supersedes", ",").alias("supersedes"),
     )

@@ -17,8 +17,9 @@ from go_dedupe_spark.functions.hashing import (  # noqa: F401
 )
 from go_dedupe_spark.functions.similarity import (  # noqa: F401
     char_ngrams,
-    cosine_hashed_ngrams_udf,
+    hashed_ngram_vector_udf,
     jaro_winkler_udf,
-    token_jaccard_udf,
+    token_jaccard_expr,
+    token_shingles,
     word_tokens,
 )

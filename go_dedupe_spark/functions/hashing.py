@@ -99,4 +99,11 @@ def minhash_band_keys(
         )
         for b in range(n_bands)
     ]
-    return F.array(*keys)
+    # Empty token arrays get NO band keys (so whitespace/punct-only
+    # records never block together): array_min over an empty array is
+    # NULL, and concat_ws would silently skip the NULLs, giving every
+    # empty record the identical md5('') key — while the SQL oracle's
+    # `||` propagates NULL instead. Emitting nothing is the semantics
+    # both engines can agree on (oracle: WHERE len(toks) > 0).
+    return F.when(F.size(tokens) > 0, F.array(*keys)) \
+            .otherwise(F.array().cast("array<string>"))

@@ -57,13 +57,21 @@ def char_ngrams(colname: str, n: int = 3) -> Column:
 
 
 def _jaro_winkler(s1: str, s2: str) -> float:
-    """Standard Jaro-Winkler similarity.
+    """Standard Jaro-Winkler similarity over UTF-8 BYTES.
 
-    Matches DuckDB's ``jaro_winkler_similarity`` (verified in
-    tests/test_similarity.py against random strings) so results are
-    checkable by the SQL oracle: prefix length <= 4, scaling 0.1,
-    boost only when jaro > 0.7.
+    Matches DuckDB's ``jaro_winkler_similarity`` (differential-tested in
+    tests/test_similarity.py against random ASCII and non-ASCII strings)
+    so results are checkable by the SQL oracle: prefix length <= 4,
+    scaling 0.1, boost only when jaro > 0.7. Byte (not codepoint)
+    comparison is deliberate — it is what DuckDB/rapidfuzz do, and what
+    the batched :func:`_jaro_winkler_batch` does; the two
+    implementations are differential-tested for bit-identity.
     """
+    b1, b2 = s1.encode("utf-8"), s2.encode("utf-8")
+    return _jaro_winkler_bytes(b1, b2)
+
+
+def _jaro_winkler_bytes(s1: bytes, s2: bytes) -> float:
     len1, len2 = len(s1), len(s2)
     if len1 == 0 or len2 == 0:
         return 0.0
@@ -71,7 +79,7 @@ def _jaro_winkler(s1: str, s2: str) -> float:
         return 1.0
     match_window = max(max(len1, len2) // 2 - 1, 0)
     s2_matched = [False] * len2
-    s1_matched_chars: list[str] = []
+    s1_matched_chars: list[int] = []
     for i, c1 in enumerate(s1):
         lo = max(0, i - match_window)
         hi = min(len2, i + match_window + 1)
@@ -102,10 +110,11 @@ def _jaro_winkler_batch(a: pd.Series, b: pd.Series) -> np.ndarray:
     """Numpy-vectorized Jaro-Winkler over a batch of string pairs.
 
     Strings are UTF-8-encoded into fixed-width uint8 matrices; the
-    greedy window-matching loop runs over CHARACTER POSITIONS (max
-    length L iterations), with every step vectorized across the batch —
-    ~20x faster than per-row Python. Produces bit-identical results to
-    :func:`_jaro_winkler` (differential-tested in tests)."""
+    greedy window-matching loop runs over BYTE POSITIONS (max length L
+    iterations), with every step vectorized across the batch — ~20x
+    faster than per-row Python. Produces bit-identical results to
+    :func:`_jaro_winkler` (both operate on UTF-8 bytes, matching
+    DuckDB; differential-tested in tests/test_similarity.py)."""
     s1 = a.fillna("").astype(str).to_numpy()
     s2 = b.fillna("").astype(str).to_numpy()
     n = len(s1)
@@ -209,18 +218,6 @@ def path_vec_scores_udf(pa: pd.Series, pb: pd.Series,
 # ------------------------------------------------------------ token Jaccard
 
 
-@pandas_udf(DoubleType())
-def token_jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Jaccard over the DISTINCT elements of two array<string> columns."""
-    out = np.empty(len(a), dtype="float64")
-    for i, (x, y) in enumerate(zip(a, b)):
-        sx = set(x) if x is not None else set()
-        sy = set(y) if y is not None else set()
-        u = len(sx | sy)
-        out[i] = (len(sx & sy) / u) if u else 0.0
-    return pd.Series(out)
-
-
 def token_shingles(tokens: Column, n: int = 3, sep: str = " ") -> Column:
     """n-token shingles of an array<string> column, native (no UDF).
 
@@ -283,19 +280,4 @@ def hashed_ngram_vector_udf(texts: pd.Series) -> pd.Series:
         v = _hash_vector(t if t is not None else "")
         n = np.linalg.norm(v)
         out.append((v / n if n > 0 else v).astype("float32").tolist())
-    return pd.Series(out)
-
-
-@pandas_udf(DoubleType())
-def cosine_hashed_ngrams_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Cosine similarity between hashed character-n-gram count vectors of
-    two string columns. The engine-local replacement for the reference's
-    embed+L2 scoring (embeddings/ollama.go + vector/sqlite.go:368-437)."""
-    out = np.empty(len(a), dtype="float64")
-    for i, (x, y) in enumerate(zip(a, b)):
-        va = _hash_vector(x)
-        vb = _hash_vector(y)
-        na = np.linalg.norm(va)
-        nb = np.linalg.norm(vb)
-        out[i] = float(va @ vb / (na * nb)) if na > 0 and nb > 0 else 0.0
     return pd.Series(out)

@@ -7,9 +7,12 @@ Column expressions (md5/sha2/array ops -> whole-stage codegen); nothing
 here is per-row Python.
 
 Scale notes: every pair-producing operator blocks first (LSH bands,
-simhash buckets, or an explicit block column) so candidate sets are
-bounded; the full O(n^2) cross join never materializes. At 100 TB the
-only shuffles are the band-key self-joins, which AQE skew-join splits.
+simhash bands, or an explicit block column) AND caps dense buckets —
+``minhash_lsh_pairs`` salts any band bucket larger than ``max_block``
+into deterministic sub-blocks (operators/pairs.salted_rekey), so the
+pair count from one bucket of n docs is bounded by ~n*salt_cap/2, never
+n(n-1)/2. AQE skew-join splits residual partition skew, but AQE alone
+cannot bound a quadratic pair count — the salt cap does.
 """
 
 from __future__ import annotations
@@ -48,11 +51,21 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     band_rows: int = 2,
     scope_col: str | None = None,
+    max_block: int = 100,
+    salt_cap: int = 40,
 ) -> DataFrame:
     """Candidate near-dup pairs via MinHash banding over word tokens:
-    shingle -> minhash -> band -> bucket self-join. Returns distinct
-    (id_a, id_b) with id_a < id_b. ``scope_col`` (e.g. lang) prefixes
-    every band key so buckets never cross scopes."""
+    shingle -> minhash -> band -> SKEW-CAPPED bucket self-join. Returns
+    distinct (id_a, id_b) with id_a < id_b. ``scope_col`` (e.g. lang)
+    prefixes every band key so buckets never cross scopes.
+
+    A dense bucket (shared-vocabulary corpus — the mega-repo analog of
+    a downtown geohash) would emit n(n-1)/2 pairs; buckets larger than
+    ``max_block`` are md5-salted into sub-blocks of ~``salt_cap``
+    members (operators/pairs.salted_rekey), bounding the candidate set
+    at the documented cost of cross-sub-block recall."""
+    from go_dedupe_spark.operators.pairs import salted_rekey
+
     toked = df.select(
         F.col(id_col).alias("id"),
         word_tokens(F.col(text_col)).alias("_toks"),
@@ -66,6 +79,7 @@ def minhash_lsh_pairs(
         ).select("id", F.concat(F.col("_scope"), F.lit(":"), F.col("k0")).alias("block_key"))
     else:
         keyed = toked.select(F.col("id"), F.explode(keys).alias("block_key"))
+    keyed = salted_rekey(keyed, max_block=max_block, salt_cap=salt_cap)
     a, b = keyed.alias("a"), keyed.alias("b")
     return (
         a.join(b, (F.col("a.block_key") == F.col("b.block_key"))
@@ -107,14 +121,72 @@ def simhash_column(df: DataFrame, id_col: str, text_col: str,
 
 def simhash_duplicates(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", bits: int = 16) -> DataFrame:
-    """Docs whose simhash collides exactly (near-dup at small hamming
-    distance needs banded simhash; exact-bucket is the scalable first
-    pass). Returns (simhash, canonical_id, n_docs)."""
+    """Docs whose simhash collides exactly (the cheap first pass; for
+    near-dup recall at small Hamming distance use
+    ``simhash_hamming_pairs``). Returns (simhash, canonical_id, n_docs)."""
     return (
         simhash_column(df, id_col, text_col, bits)
         .groupBy("simhash")
         .agg(F.min("id").alias("canonical_id"), F.count("*").alias("n_docs"))
         .where(F.col("n_docs") > 1)
+    )
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 60,
+    bands: int = 4,
+    max_hamming: int = 8,
+    max_block: int = 100,
+    salt_cap: int = 40,
+) -> DataFrame:
+    """Near-duplicate pairs via wide SimHash + banded Hamming join —
+    the standard large-corpus near-dedup (Manku et al., WWW'07 shape):
+
+    1. 60-bit simhash per doc (per-bit token majority vote; 60 = the
+       md5-prefix hash width that stays inside a signed BIGINT in both
+       engines).
+    2. Split into ``bands`` bands of bits/bands bits; two docs within
+       Hamming distance < bands MUST agree exactly on at least one band
+       (pigeonhole) -> exact-match band buckets are a complete blocking
+       scheme for max_hamming <= bands - 1, and a high-recall one a bit
+       beyond.
+    3. Dense band buckets (e.g. the all-zeros band of short docs) are
+       salt-capped like every other block in this engine.
+    4. Verify: popcount(xor) <= max_hamming, native bit_count.
+
+    Returns (id_a, id_b, hamming)."""
+    from go_dedupe_spark.operators.pairs import salted_rekey
+
+    width = bits // bands
+    mask = (1 << width) - 1
+    sim = simhash_column(df, id_col, text_col, bits=bits)
+    band_keys = F.array(*[
+        F.concat(
+            F.lit(f"{i}:"),
+            F.shiftright(F.col("simhash"), i * width)
+             .bitwiseAND(F.lit(mask)).cast("string"),
+        )
+        for i in range(bands)
+    ])
+    keyed = sim.select("id", "simhash", F.explode(band_keys).alias("block_key"))
+    keyed = salted_rekey(keyed, max_block=max_block, salt_cap=salt_cap)
+    a = keyed.select(F.col("id").alias("id_a"),
+                     F.col("simhash").alias("sim_a"), "block_key")
+    b = keyed.select(F.col("id").alias("id_b"),
+                     F.col("simhash").alias("sim_b"), "block_key")
+    return (
+        a.join(b, "block_key")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+             .cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
@@ -135,21 +207,23 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"),
         F.array_distinct(char_ngrams(text_col, n)).alias("grams"),
     )
-    # gram vectors are a per-doc dimension; broadcast when the doc table
-    # is small relative to the candidate pair set (typical post-LSH)
-    a = F.broadcast(grams.select(F.col("id").alias("id_a"),
-                                 F.col("grams").alias("grams_a")))
-    b = F.broadcast(grams.select(F.col("id").alias("id_b"),
-                                 F.col("grams").alias("grams_b")))
+    # NO manual broadcast of the gram table: the full per-doc gram
+    # dimension cannot broadcast at corpus scale. Shuffle joins by
+    # default; AQE converts to broadcast at runtime when the gram table
+    # is measured under autoBroadcastJoinThreshold (the sf0.01/0.1 case)
+    # — the same conditional policy as scoring.score_pairs.
+    a = grams.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a"))
+    b = grams.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b"))
     inter = F.size(F.array_intersect("grams_a", "grams_b"))
     union = F.size(F.array_union("grams_a", "grams_b"))
     jac = F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
-    # explicit repartition before the CPU-heavy per-pair array ops: AQE
-    # coalesces the candidate shuffle by SIZE (a few MB -> ~1 partition)
-    # and would serialize the scoring onto one core
+    # explicit repartition on BOTH pair ids before the CPU-heavy array
+    # ops: AQE coalesces the candidate shuffle by SIZE (a few MB -> ~1
+    # partition) and would serialize the scoring onto one core; keying
+    # on id_a alone can skew when one record dominates the pair set
     par = candidate_pairs.sparkSession.sparkContext.defaultParallelism
     return (
-        candidate_pairs.repartition(par, "id_a")
+        candidate_pairs.repartition(par, "id_a", "id_b")
         .join(a, "id_a").join(b, "id_b")
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)

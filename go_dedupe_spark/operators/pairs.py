@@ -36,55 +36,67 @@ DEFAULT_MAX_BLOCK = 64
 DEFAULT_SALT_CAP = 32
 
 
+def salted_rekey(
+    keyed: DataFrame,
+    max_block: int = DEFAULT_MAX_BLOCK,
+    salt_cap: int = DEFAULT_SALT_CAP,
+    id_col: str = "id",
+    key_col: str = "block_key",
+) -> DataFrame:
+    """Attach block sizes and split mega-blocks into deterministic
+    md5-salted sub-blocks of ~salt_cap members. Returns the input with
+    ``key_col`` rewritten for mega-block rows and a ``salted`` flag.
+
+    The salt hashes the STRING form of the id (``md5(CAST(id AS
+    VARCHAR))`` in the DuckDB oracle), so numeric and string ids get the
+    same sub-block assignment in both engines.
+
+    Shape: block sizes via groupBy (map-side partial aggregation —
+    skew-immune, unlike a window over the skewed key which would funnel
+    a whole mega-block through one task), then a broadcast join of ONLY
+    the mega keys (tiny by construction: keys with n > max_block), then
+    a pure column rewrite. No persist: the downstream self-join reads
+    the rekeyed shuffle exchange twice via ReusedExchange, and the size
+    aggregation's second scan of the input is cheap against a
+    checkpointed stage table (callers with an expensive unmaterialized
+    input should persist it themselves — they own the lifecycle)."""
+    mega_sizes = (
+        keyed.groupBy(key_col).agg(F.count("*").alias("_n"))
+        .where(F.col("_n") > max_block)
+    )
+    joined = keyed.join(F.broadcast(mega_sizes), key_col, "left")
+    n_salt = F.ceil(F.col("_n") / F.lit(salt_cap)).cast("long")
+    salt = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long") % n_salt
+    ).cast("string")
+    return joined.select(
+        *[c for c in keyed.columns if c != key_col],
+        F.when(F.col("_n").isNull(), F.col(key_col))
+         .otherwise(F.concat(F.col(key_col), F.lit("#"), salt)).alias(key_col),
+        F.col("_n").isNotNull().alias("salted"),
+    )
+
+
 def candidate_pairs(
     blocks: DataFrame,
     max_block: int = DEFAULT_MAX_BLOCK,
     salt_cap: int = DEFAULT_SALT_CAP,
 ) -> DataFrame:
-    """blocks(block_key, block_kind, id) -> pairs(id_a, id_b, block_key).
+    """blocks(block_key, block_kind, id) -> pairs(id_a, id_b, block_key,
+    salted).
 
     Pairs from normal blocks (n <= max_block) are exact: all C(n,2).
     Pairs from mega-blocks are generated within deterministic salted
     sub-blocks of ~salt_cap members (bounded recall loss, documented in
     the ``salted`` flag — north_rule requires explicit skew splitting).
-
-    The input is persisted: this plan references ``blocks`` six times
-    (histogram, size-join, both self-join sides x normal/mega) and
-    would otherwise recompute the upstream MinHash DAG each time. In
-    the checkpointed pipeline the input is already a parquet scan and
-    the persist is a cheap no-op win.
     """
-    from pyspark import StorageLevel
-
-    blocks = blocks.persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = blocks.groupBy("block_key").agg(F.count("*").alias("n_ids"))
-    sized = blocks.join(F.broadcast(sizes.where(F.col("n_ids") > max_block)),
-                        "block_key", "left")
-
-    normal = sized.where(F.col("n_ids").isNull()).select("block_key", "id")
-    mega = sized.where(F.col("n_ids").isNotNull())
-
-    pairs_normal = _self_join(normal, salted=False)
-
-    # salted sub-blocks: deterministic md5-based salt, ceil(n/cap) buckets
-    n_salt = F.ceil(F.col("n_ids") / F.lit(salt_cap)).cast("int")
-    mega_salted = mega.select(
-        F.concat(
-            F.col("block_key"), F.lit("#"),
-            (F.conv(F.substring(F.md5(F.col("id")), 1, 8), 16, 10).cast("long")
-             % n_salt).cast("string"),
-        ).alias("block_key"),
-        "id",
-    )
-    pairs_mega = _self_join(mega_salted, salted=True)
-
-    return (
-        pairs_normal.unionByName(pairs_mega)
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    keyed = salted_rekey(blocks.select("id", "block_key"),
+                         max_block=max_block, salt_cap=salt_cap)
+    return _self_join(keyed).dropDuplicates(["id_a", "id_b"])
 
 
-def _self_join(keyed: DataFrame, salted: bool) -> DataFrame:
+def _self_join(keyed: DataFrame) -> DataFrame:
     a = keyed.alias("a")
     b = keyed.alias("b")
     return (
@@ -97,6 +109,6 @@ def _self_join(keyed: DataFrame, salted: bool) -> DataFrame:
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             F.col("a.block_key").alias("block_key"),
-            F.lit(salted).alias("salted"),
+            F.col("a.salted").alias("salted"),
         )
     )

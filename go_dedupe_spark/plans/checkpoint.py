@@ -19,6 +19,7 @@ rows_out, wall_ms, input_snapshot.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import time
 from pathlib import Path
@@ -31,15 +32,21 @@ class CheckpointStore:
         self.root = Path(root)
         self.root.mkdir(parents=True, exist_ok=True)
 
-    def _dir(self, stage: str) -> Path:
-        return self.root / stage
+    def _dir(self, stage: str, input_snapshot: str) -> Path:
+        # content-addressed by snapshot: two configs/inputs NEVER share
+        # a directory, so (a) switching back and forth reuses each
+        # config's own checkpoint instead of thrashing recomputes, and
+        # (b) a recompute never overwrites parquet files that a
+        # previously returned (lazy) DataFrame still references.
+        h = hashlib.sha256(input_snapshot.encode()).hexdigest()[:12]
+        return self.root / f"{stage}@{h}"
 
-    def _manifest(self, stage: str) -> Path:
-        return self.root / f"{stage}.manifest.json"
+    def _manifest(self, stage: str, input_snapshot: str) -> Path:
+        return self._dir(stage, input_snapshot).with_suffix(".manifest.json")
 
     def has(self, stage: str, input_snapshot: str) -> bool:
         """True iff a completed checkpoint for this exact input exists."""
-        mf = self._manifest(stage)
+        mf = self._manifest(stage, input_snapshot)
         if not mf.exists():
             return False
         try:
@@ -51,8 +58,9 @@ class CheckpointStore:
             and meta.get("complete") is True
         )
 
-    def read(self, spark: SparkSession, stage: str) -> DataFrame:
-        return spark.read.parquet(str(self._dir(stage)))
+    def read(self, spark: SparkSession, stage: str,
+             input_snapshot: str) -> DataFrame:
+        return spark.read.parquet(str(self._dir(stage, input_snapshot)))
 
     def write(
         self,
@@ -69,13 +77,13 @@ class CheckpointStore:
         out = df
         if sort_by:
             out = df.repartition(*sort_by).sortWithinPartitions(*sort_by)
-        path = self._dir(stage)
+        path = self._dir(stage, input_snapshot)
         out.write.mode("overwrite").parquet(str(path))
         spark = df.sparkSession
         persisted = spark.read.parquet(str(path))
         rows_out = persisted.count()
         wall_ms = int((time.monotonic() - t0) * 1000)
-        self._manifest(stage).write_text(json.dumps({
+        self._manifest(stage, input_snapshot).write_text(json.dumps({
             "stage": stage,
             "input_snapshot": input_snapshot,
             "rows_out": rows_out,
@@ -96,7 +104,7 @@ class CheckpointStore:
         """The resume rule: reuse iff (stage, input_snapshot) checkpoint
         is complete, else compute() and persist."""
         if self.has(stage, input_snapshot):
-            return self.read(spark, stage)
+            return self.read(spark, stage, input_snapshot)
         return self.write(compute(), stage, input_snapshot, sort_by=sort_by)
 
     # ------------------------------------------------------------ metrics

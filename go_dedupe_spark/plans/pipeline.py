@@ -9,7 +9,9 @@ checkpointed and individually resumable.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -36,6 +38,15 @@ class PipelineConfig:
     cc_max_iter: int = 25
     extra: dict = field(default_factory=dict)
 
+    def fingerprint(self) -> str:
+        """Deterministic hash of every stage-relevant field. Folded into
+        the checkpoint snapshot key: a rerun with a changed threshold /
+        band geometry / max_block must NOT silently reuse stage outputs
+        computed under the old config."""
+        return hashlib.sha256(
+            json.dumps(asdict(self), sort_keys=True, default=str).encode()
+        ).hexdigest()[:16]
+
 
 @dataclass
 class PipelineResult:
@@ -55,8 +66,11 @@ def run_pipeline(
     input_snapshot: str = "adhoc",
 ) -> PipelineResult:
     """Run all six stages. With a ``store``, each stage checkpoints and
-    resumes idempotently (same input_snapshot -> reuse)."""
+    resumes idempotently (same input_snapshot AND same config -> reuse;
+    the config fingerprint is folded into the snapshot key so a changed
+    threshold/band geometry recomputes instead of serving stale stages)."""
     cfg = cfg or PipelineConfig()
+    input_snapshot = f"{input_snapshot}:cfg={cfg.fingerprint()}"
 
     def stage(name: str, compute, sort_by=None) -> DataFrame:
         if store is None:

@@ -80,6 +80,127 @@ def read_csv_records(
         .withColumn("coord_valid", valid)
 
 
+# ------------------------------------------------------------- parsers
+# P1-P4: per-source field extraction to the COMMON record schema
+# (id, name, address, lon, lat, valid, reason). Invalid records carry a
+# typed reason instead of being swallowed (errors.go:8-34 -> quarantine
+# columns; the reference logs-and-drops at index.go:75-77).
+
+_RECORD_COLS = ["id", "name", "address", "lon", "lat", "valid", "reason"]
+
+
+def _finish_record(df: DataFrame, prefix: str, raw_id, name, comps,
+                   lon, lat, check_coords: bool = False) -> DataFrame:
+    """Assemble the common record columns from per-source expressions.
+    ``comps`` is an array<string> of non-empty address components
+    (joined with ' ' like strings.Join(addr_components, " "),
+    overture/parser.go:91)."""
+    has_addr = F.size(comps) > 0
+    coord_ok = (
+        lat.isNotNull() & lon.isNotNull()
+        & (lat >= -90) & (lat <= 90) & (lon >= -180) & (lon <= 180)
+    ) if check_coords else F.lit(True)
+    valid = raw_id.isNotNull() & name.isNotNull() & has_addr & coord_ok
+    reason = (
+        F.when(raw_id.isNull(), "missing_id")
+        .when(name.isNull(), "missing_name")
+        .when(~has_addr, "missing_address")
+        .when(~coord_ok, "invalid_coordinates")
+        .otherwise("")
+    )
+    return df.select(
+        F.concat(F.lit(f"{prefix}:id="), raw_id.cast("string")).alias("id"),
+        name.alias("name"),
+        F.when(has_addr, F.array_join(comps, " ")).alias("address"),
+        F.round(lon, 6).alias("lon"),
+        F.round(lat, 6).alias("lat"),
+        valid.alias("valid"),
+        reason.alias("reason"),
+    )
+
+
+def parse_wof_venue(df: DataFrame) -> DataFrame:
+    """P1 — WhosOnFirst venue extraction (whosonfirst/parser.go:33-71):
+    properties.wof:id, properties.name, properties.addr:full, Point
+    centroid; id namespaced 'wof:id={id}' (ids.go:7-25)."""
+    props = F.col("properties")
+    addr = props.getField("addr:full")
+    return _finish_record(
+        df, "wof",
+        raw_id=props.getField("wof:id"),
+        name=props.getField("name"),
+        comps=F.filter(F.array(addr), lambda x: x.isNotNull() & (x != "")),
+        lon=F.element_at("geometry.coordinates", 1),
+        lat=F.element_at("geometry.coordinates", 2),
+    )
+
+
+def parse_overture_place(df: DataFrame) -> DataFrame:
+    """P2 — Overture place extraction (overture/parser.go:45-114):
+    properties.id, properties.names.primary, and the addresses[] array
+    flattened over {freeform, locality, region, country} in key order,
+    non-empty components joined with ' '."""
+    props = F.col("properties")
+    comps = F.flatten(F.transform(
+        props.getField("addresses"),
+        lambda a: F.filter(
+            F.array(a.getField("freeform"), a.getField("locality"),
+                    a.getField("region"), a.getField("country")),
+            lambda x: x.isNotNull() & (x != ""),
+        ),
+    ))
+    return _finish_record(
+        df, "ovtr",
+        raw_id=props.getField("id"),
+        name=props.getField("names").getField("primary"),
+        comps=comps,
+        lon=F.element_at("geometry.coordinates", 1),
+        lat=F.element_at("geometry.coordinates", 2),
+    )
+
+
+def parse_atp_venue(df: DataFrame) -> DataFrame:
+    """P3 — AllThePlaces venue extraction (alltheplaces/parser.go:46-110):
+    top-level id, properties.name, addr:street_address/city/state/country
+    joined with ' '. Input: one row per feature (read_feature_collections)."""
+    props = F.col("properties")
+    comps = F.filter(
+        F.array(*[props.getField(k) for k in
+                  ("addr:street_address", "addr:city",
+                   "addr:state", "addr:country")]),
+        lambda x: x.isNotNull() & (x != ""),
+    )
+    return _finish_record(
+        df, "atp",
+        raw_id=F.col("id"),
+        name=props.getField("name"),
+        comps=comps,
+        lon=F.element_at("geometry.coordinates", 1),
+        lat=F.element_at("geometry.coordinates", 2),
+    )
+
+
+def parse_ilms_venue(df: DataFrame) -> DataFrame:
+    """P4 — ILMS extraction (ilms/parser.go:45-109 + the iterator's
+    coordinate guards, ilms/iterator.go:133-159): MID, COMMONNAME,
+    ADSTREET/ADCITY/ADSTATE/ADZIP joined with ' ', straight from the
+    CSV columns (the reference synthesizes intermediate GeoJSON; a
+    column select needs no such detour)."""
+    comps = F.filter(
+        F.array("ADSTREET", "ADCITY", "ADSTATE", "ADZIP"),
+        lambda x: x.isNotNull() & (x != ""),
+    )
+    return _finish_record(
+        df, "ilms",
+        raw_id=F.col("MID"),
+        name=F.col("COMMONNAME"),
+        comps=comps,
+        lon=F.col("LONGITUDE").cast("double"),
+        lat=F.col("LATITUDE").cast("double"),
+        check_coords=True,
+    )
+
+
 def read_match_csv(spark: SparkSession, path: str) -> DataFrame:
     """Re-read emitted match CSVs (the reference's downstream tools,
     process.go:60-77; row shape README.md:152-163) with canonical pair

@@ -80,3 +80,53 @@ def test_read_match_csv_dedups_symmetric_pairs(spark, tmp_path):
     )
     df = read_match_csv(spark, str(p))
     assert df.count() == 2
+
+
+# ---------------------------------------------------- P1-P4 golden parsing
+
+
+def test_parse_wof_venue_golden(spark):
+    """Golden WOF venue (mirrors the reference's fixture style,
+    vector/tests.go:11-119): exact field extraction per
+    whosonfirst/parser.go:33-71."""
+    from go_dedupe_spark.sources.readers import parse_wof_venue, read_geojson_dir
+
+    raw = read_geojson_dir(spark, "/root/repo/fixtures/wof",
+                           exclude_deprecated=True)
+    rows = {r["id"]: r for r in parse_wof_venue(raw).collect()}
+    assert set(rows) == {"wof:id=101", "wof:id=102", "wof:id=103"}
+    r = rows["wof:id=101"]
+    assert r["name"] == "Open Da Night"
+    assert r["address"] == "124 rue St. Viateur o. Montreal"
+    assert (r["lon"], r["lat"]) == (-73.603, 45.524)
+    assert r["valid"] and r["reason"] == ""
+
+
+def test_parse_overture_place_golden_and_quarantine(spark):
+    from go_dedupe_spark.sources.readers import (
+        parse_overture_place,
+        read_line_delimited_json,
+    )
+
+    raw = read_line_delimited_json(
+        spark, "/root/repo/fixtures/overture_places.jsonl")
+    rows = {r["id"]: r for r in parse_overture_place(raw).collect()}
+    # addresses[] joined over freeform/locality/region/country, non-empty
+    # components only (overture/parser.go:45-114)
+    assert rows["ovtr:id=ov1"]["address"] == \
+        "124 rue St-Viateur O Montreal QC CA"
+    assert rows["ovtr:id=ov2"]["address"] == "88 Main Street Brooklyn US"
+    bad = rows["ovtr:id=ov3"]
+    assert not bad["valid"] and bad["reason"] == "missing_address"
+
+
+def test_parse_ilms_golden_coord_and_name_guards(spark):
+    from go_dedupe_spark.sources.readers import parse_ilms_venue
+
+    raw = spark.read.csv("/root/repo/fixtures/ilms.csv", header=True)
+    rows = {r["id"]: r for r in parse_ilms_venue(raw).collect()}
+    assert rows["ilms:id=M1"]["valid"]
+    assert rows["ilms:id=M1"]["address"] == \
+        "10 Object Way Springfield IL 62701"
+    assert rows["ilms:id=M3"]["reason"] == "invalid_coordinates"
+    assert rows["ilms:id=M4"]["reason"] == "missing_name"

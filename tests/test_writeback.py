@@ -1,0 +1,90 @@
+"""K6 migrate + K5 patch-if-changed write-back semantics
+(migrate.go:40-100; process.go:385-403's only-if-changed guard)."""
+
+from __future__ import annotations
+
+import hashlib
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from go_dedupe_spark.plans.writeback import (
+    migrate_records,
+    patch_if_changed,
+    write_patches_if_changed,
+)
+
+
+def _table_digest(d: Path) -> str:
+    h = hashlib.sha256()
+    for p in sorted(d.rglob("*.parquet")):
+        h.update(p.name.encode())
+        h.update(p.read_bytes())
+    return h.hexdigest()
+
+
+def _write_src(spark, d: Path):
+    df = spark.createDataFrame(
+        [("r1", "repo-a", None), ("r2", "repo-a", "2021-01-01"),
+         ("r3", "repo-a", None), ("r4", "repo-a", "2022-05-05")],
+        ["id", "repo", "deprecated"],
+    )
+    df.repartition(1).write.mode("overwrite").parquet(str(d))
+
+
+def test_migrate_moves_deprecated_rows(spark, tmp_path):
+    src, dst = tmp_path / "src", tmp_path / "dst"
+    _write_src(spark, src)
+    stats = migrate_records(
+        spark, src, dst,
+        predicate=F.col("deprecated").isNotNull(),
+        set_columns={"repo": F.lit("repo-deprecated")},   # wof:repo rewrite
+    )
+    assert stats == {"moved": 2, "retained": 2}
+    left = {r["id"] for r in spark.read.parquet(str(src)).collect()}
+    moved = spark.read.parquet(str(dst)).collect()
+    assert left == {"r1", "r3"}                       # migrated rows LEFT the source
+    assert {r["id"] for r in moved} == {"r2", "r4"}
+    assert all(r["repo"] == "repo-deprecated" for r in moved)
+
+
+def test_migrate_is_idempotent_on_rerun(spark, tmp_path):
+    src, dst = tmp_path / "src", tmp_path / "dst"
+    _write_src(spark, src)
+    pred = F.col("deprecated").isNotNull()
+    migrate_records(spark, src, dst, pred)
+    stats2 = migrate_records(spark, src, dst, pred)    # nothing left to move
+    assert stats2["moved"] == 0
+    assert spark.read.parquet(str(dst)).count() == 2   # no duplicates
+
+
+def test_patch_if_changed_flags_only_real_changes(spark):
+    records = spark.createDataFrame(
+        [("a", "x", 1), ("b", "y", 2), ("c", None, 3)],
+        ["id", "val", "keep"])
+    patches = spark.createDataFrame(
+        [("a", "x"), ("b", "CHANGED"), ("c", "filled")], ["id", "val"])
+    out, _ = patch_if_changed(records, patches)
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows["a"]["_changed"] is False             # same value -> no change
+    assert rows["b"]["_changed"] is True and rows["b"]["val"] == "CHANGED"
+    assert rows["c"]["_changed"] is True and rows["c"]["val"] == "filled"
+    assert rows["a"]["keep"] == 1                      # non-patch cols untouched
+
+
+def test_noop_patch_leaves_table_byte_identical(spark, tmp_path):
+    table = tmp_path / "locations"
+    spark.createDataFrame([("a", "x"), ("b", "y")], ["id", "val"]) \
+        .repartition(1).write.mode("overwrite").parquet(str(table))
+    before = _table_digest(table)
+    n = write_patches_if_changed(
+        spark, table,
+        spark.createDataFrame([("a", "x")], ["id", "val"]))  # no-op patch
+    assert n == 0
+    assert _table_digest(table) == before              # files untouched
+    n2 = write_patches_if_changed(
+        spark, table,
+        spark.createDataFrame([("a", "z")], ["id", "val"]))
+    assert n2 == 1
+    rows = {r["id"]: r["val"] for r in spark.read.parquet(str(table)).collect()}
+    assert rows == {"a": "z", "b": "y"}
