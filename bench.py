@@ -22,7 +22,9 @@ HEADLINE = [
     "er_scores",
     "er_components",
     "dedup_minhash_lsh",
+    "dedup_simhash_hamming",
     "dedup_ngram_jaccard",
+    "ann_topk_lsh",
     "dedup_embedding_cosine",
     "ann_topk_bruteforce",
     "agg_pricing_summary",

@@ -1056,6 +1056,36 @@ def multimodal_features(spark, sf_dir):
     )
 
 
+@query("metadata_union", """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       'geohash=' || substr(sha256(text), 1, 5)
+       || ';lang=' || lang
+       || ';source=' || source AS metadata
+FROM documents
+""")
+def metadata_union(spark, sf_dir):
+    """P8 — metadata union (Location.Metadata(), location/location.go:
+    43-65): free-form custom map ∪ computed reserved entries, computed
+    wins on the reserved key. The custom map here carries a STALE
+    'geohash' value that the computed one must override; output is the
+    canonical sorted k=v string (map cells are unhashable in the
+    harness)."""
+    from go_dedupe_spark.functions.metadata import metadata_canonical, metadata_union
+
+    docs = _t(spark, sf_dir, "documents")
+    custom = F.create_map(
+        F.lit("source"), F.col("source"),
+        F.lit("lang"), F.col("lang"),
+        F.lit("geohash"), F.lit("stale-value"),   # must be overridden
+    )
+    merged = metadata_union(custom,
+                            geohash=F.substring(F.sha2("text", 256), 1, 5))
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        metadata_canonical(merged).alias("metadata"),
+    )
+
+
 # ================================================ source readers + parsers
 # (S1-S4/S7 + P1-P4 over committed fixture files; the oracle reads the
 # SAME files via DuckDB's read_json/read_csv. sf_dir is irrelevant —

@@ -7,6 +7,10 @@ they are also what makes query results reproducible in the DuckDB
 correctness oracle (md5/sha256 are bit-identical across engines).
 """
 
+from go_dedupe_spark.functions.edtf import (  # noqa: F401
+    edtf_is_deprecated,
+    edtf_sort_key,
+)
 from go_dedupe_spark.functions.hashing import (  # noqa: F401
     content_sha256,
     minhash_band_keys,
@@ -14,6 +18,10 @@ from go_dedupe_spark.functions.hashing import (  # noqa: F401
     path_tokens,
     record_id_expr,
     token_hash64,
+)
+from go_dedupe_spark.functions.metadata import (  # noqa: F401
+    metadata_canonical,
+    metadata_union,
 )
 from go_dedupe_spark.functions.similarity import (  # noqa: F401
     char_ngrams,

@@ -19,17 +19,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def resolve_clusters(components: DataFrame, records: DataFrame) -> DataFrame:
+def resolve_clusters(
+    components: DataFrame,
+    records: DataFrame,
+    order_cols: tuple[str, ...] = ("commit", "id"),
+) -> DataFrame:
     """-> resolution(id, cluster_id, survivor_id, is_survivor,
     superseded_by array<string>, supersedes array<string>).
 
-    Survivor precedence (C2 adapted): newest commit wins, tie -> max id.
-    """
+    Survivor precedence (C2): max_by over the ordered struct of
+    ``order_cols``. Default (commit, id) = newest commit wins, tie ->
+    max id. The reference's full venue precedence (process.go:143-333)
+    is ``order_cols=("is_mapzen", "lastmod", "id")`` — (b) mapzen
+    geometry wins, (c) newer lastmod wins, (d) tie -> higher id; rule
+    (a) deprecated-side-loses composes as a pre-filter or a leading
+    ``not_deprecated`` column (functions.edtf.edtf_is_deprecated)."""
     member = components.join(
-        records.select("id", "commit"), "id", "inner"
+        records.select("id", *[c for c in order_cols if c != "id"]),
+        "id", "inner",
     )
     survivors = member.groupBy("cluster_id").agg(
-        F.max_by("id", F.struct(F.col("commit"), F.col("id"))).alias("survivor_id"),
+        F.max_by("id", F.struct(*[F.col(c) for c in order_cols]))
+         .alias("survivor_id"),
         F.collect_set("id").alias("member_ids"),
     )
     out = (
