@@ -23,6 +23,7 @@ import subprocess
 import sys
 import time
 from pathlib import Path
+from shutil import which as shutil_which
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
@@ -78,6 +79,11 @@ def worker(cores: int) -> None:
     # the scaling ratio. Steady-state is what a long-running cluster
     # job sees.
     run_once()
+    # drop the warmup's eager localCheckpoint RDDs: they are never
+    # auto-unpersisted and the accumulated blocks put GC pressure on
+    # the timed run (measured: stages 3-7x slower in run 2 without this)
+    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        rdd.unpersist(True)
 
     t0 = time.monotonic()
     result = run_once()
@@ -100,8 +106,17 @@ def main() -> None:
     ensure_corpus()
     results = {}
     for k in LEVELS:
+        # CPU-pin the whole process tree (JVM task threads + GC/shuffle
+        # threads + python UDF workers) to exactly k cores: in unpinned
+        # local[k] the k task slots freely borrow EXTRA physical cores
+        # for GC, parquet IO and Arrow workers, which inflates the
+        # small-k baseline and corrupts the N-vs-4N ratio. Pinning makes
+        # each level a faithful k-core executor emulation.
+        cmd = [sys.executable, __file__, "--worker", str(k)]
+        if shutil_which("taskset"):
+            cmd = ["taskset", "-c", f"0-{k - 1}"] + cmd
         out = subprocess.run(
-            [sys.executable, __file__, "--worker", str(k)],
+            cmd,
             capture_output=True, text=True, timeout=1800, check=True,
             cwd=str(Path(__file__).resolve().parent),
         )

@@ -1056,6 +1056,44 @@ def multimodal_features(spark, sf_dir):
     )
 
 
+MATRYOSHKA_DIM = 16
+
+
+@query("emb_quantize_matryoshka", f"""
+WITH e AS ({_SQL_EMB}),
+q AS (SELECT vec_id, v,
+        CAST(list_sum(list_transform(range(1, least(len(v), 60) + 1),
+          i -> CASE WHEN v[i] > 0 THEN (1::BIGINT << (i - 1))
+               ELSE 0::BIGINT END)) AS BIGINT) AS quant_word0,
+        list_transform(v[1:{MATRYOSHKA_DIM}],
+          x -> x / sqrt(list_sum(list_transform(v[1:{MATRYOSHKA_DIM}],
+                                                y -> y * y)))) AS m
+      FROM e)
+SELECT vec_id, quant_word0,
+       round(m[1], 6) AS m_first,
+       round(list_sum(list_transform(m, x -> x * x)), 6) AS m_norm_sq
+FROM q
+""")
+def emb_quantize_matryoshka(spark, sf_dir):
+    """X3 + X4 — the reference's embedding compression variants
+    (vector/sqlite.go:201-212): binary sign-bit quantization (first
+    60-bit word checked value-exact) and matryoshka truncation
+    (slice + L2-normalize; first element and unit norm checked)."""
+    from go_dedupe_spark.operators.ann import matryoshka_truncate, quantize_binary_expr
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "v", F.col("embedding").cast("array<double>"))
+    m = matryoshka_truncate("v", MATRYOSHKA_DIM)
+    return emb.select(
+        "vec_id",
+        F.element_at(quantize_binary_expr("v"), 1).alias("quant_word0"),
+        F.round(F.element_at(m, 1), 6).alias("m_first"),
+        F.round(F.aggregate(F.transform(m, lambda x: x * x),
+                            F.lit(0.0), lambda a, x: a + x), 6)
+         .alias("m_norm_sq"),
+    )
+
+
 @query("metadata_union", """
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        'geohash=' || substr(sha256(text), 1, 5)

@@ -69,18 +69,34 @@ def connected_components(
     if driver_max_edges and stats_prev["n"] <= driver_max_edges:
         return _driver_union_find(spark, e)
 
-    for i in range(max_iter):
-        e2 = _small_star(_large_star(e))
-        e2 = checkpoint_fn(e2.dropDuplicates(["u", "v"]), i)
-        # fixpoint: count + order-insensitive 64-bit content checksum in
-        # ONE job (vs two exceptAll set-difference shuffles). A checksum
-        # collision passing as convergence needs a 2^-64 event on a
-        # multiset that also kept its cardinality — negligible.
-        stats = _edge_stats(e2)
-        e = e2
-        if stats == stats_prev:
-            break
-        stats_prev = stats
+    # Size the loop's shuffles to the EDGE COUNT, not the global conf:
+    # each iteration is 2 groupBys + a dedup + a stats agg over a set
+    # that starts small and shrinks — at the session's corpus-sized
+    # shuffle width the loop becomes pure tiny-task scheduling overhead
+    # (measured: 8 cores SLOWER than 2 on a 200k-edge graph). AQE's
+    # coalescer won't go below defaultParallelism, so scope the conf.
+    conf_key = "spark.sql.shuffle.partitions"
+    old_partitions = spark.conf.get(conf_key)
+    cores = spark.sparkContext.defaultParallelism
+    loop_partitions = int(max(cores, min(int(old_partitions),
+                                         stats_prev["n"] // 25_000 + 1)))
+    spark.conf.set(conf_key, str(loop_partitions))
+    try:
+        for i in range(max_iter):
+            e2 = _small_star(_large_star(e))
+            e2 = checkpoint_fn(e2.dropDuplicates(["u", "v"]), i)
+            # fixpoint: count + order-insensitive 64-bit content checksum
+            # in ONE job (vs two exceptAll set-difference shuffles). A
+            # checksum collision passing as convergence needs a 2^-64
+            # event on a multiset that also kept its cardinality —
+            # negligible.
+            stats = _edge_stats(e2)
+            e = e2
+            if stats == stats_prev:
+                break
+            stats_prev = stats
+    finally:
+        spark.conf.set(conf_key, old_partitions)
 
     # after convergence every v points at its component min u
     comp = e.select(F.col("v").alias("id"), F.col("u").alias("cluster_id"))

@@ -99,6 +99,34 @@ def test_ann_lsh_buckets_match_manual_signs(spark):
     assert got == expect
 
 
+def test_quantize_binary_and_matryoshka(spark):
+    """X3/X4 compression variants: sign bits pack little-endian into
+    60-bit words; matryoshka truncation is unit-norm and
+    cosine-preserving on the prefix."""
+    import numpy as np
+
+    from go_dedupe_spark.operators.ann import (
+        matryoshka_truncate,
+        quantize_binary_expr,
+    )
+
+    v = [1.0, -2.0, 3.0, -4.0] * 20                 # dim 80 -> 2 words
+    df = spark.createDataFrame([(0, v)], ["vec_id", "v"])
+    row = df.select(
+        quantize_binary_expr("v").alias("q"),
+        matryoshka_truncate("v", 8).alias("m"),
+    ).first()
+    bits = [1 if x > 0 else 0 for x in v]
+    want_w0 = sum(b << i for i, b in enumerate(bits[:60]))
+    want_w1 = sum(b << i for i, b in enumerate(bits[60:]))
+    assert row["q"] == [want_w0, want_w1]
+    m = np.array(row["m"])
+    assert len(m) == 8
+    assert abs(np.linalg.norm(m) - 1.0) < 1e-9
+    want = np.array(v[:8]) / np.linalg.norm(v[:8])
+    assert np.allclose(m, want)
+
+
 def test_text_counts_and_quality(spark):
     docs = spark.createDataFrame(
         [(1, "the quick brown fox is on the hill"),
