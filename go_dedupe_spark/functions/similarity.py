@@ -16,8 +16,6 @@ No per-row Python anywhere: the UDFs are ``pandas_udf`` (Arrow batches).
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column
@@ -251,20 +249,39 @@ def token_jaccard_expr(a: str, b: str) -> Column:
 HASH_DIM = 128
 NGRAM_N = 5
 
+# Odd 32-bit mixing constants (xxhash/Murmur primes) — one per n-gram
+# byte position. The gram hash is their dot product with the window's
+# bytes in wrapping uint64 arithmetic: deterministic everywhere, and
+# fully numpy-vectorizable, unlike a per-gram hashlib.md5 loop
+# (measured ~60x faster per batch; the ngram vectors feed only the
+# cosine FEATURE, not any SQL oracle, so cryptographic strength buys
+# nothing here).
+_GRAM_COEF = np.array(
+    [0x9E3779B1, 0x85EBCA77, 0xC2B2AE3D, 0x27D4EB2F, 0x165667B1],
+    dtype=np.uint64,
+)
+
 
 def _hash_vector(text: str, n: int = NGRAM_N, dim: int = HASH_DIM) -> np.ndarray:
-    """HashingTF-style n-gram count vector with md5 bucketing
-    (deterministic across processes — no PYTHONHASHSEED dependence)."""
-    v = np.zeros(dim, dtype="float64")
-    t = text or ""
-    if len(t) < n:
-        grams = [t] if t else []
+    """Hashed char-n-gram count vector over UTF-8 bytes: sliding-window
+    polynomial bucketing, one numpy pass per record."""
+    b = np.frombuffer((text or "").encode("utf-8"), dtype=np.uint8)
+    if len(b) == 0:
+        return np.zeros(dim, dtype="float64")
+    if len(b) < n:
+        b = np.pad(b, (0, n - len(b)))
+        windows = b[None, :]
     else:
-        grams = [t[i : i + n] for i in range(len(t) - n + 1)]
-    for g in grams:
-        h = int.from_bytes(hashlib.md5(g.encode()).digest()[:4], "big")
-        v[h % dim] += 1.0
-    return v
+        windows = np.lib.stride_tricks.sliding_window_view(b, n)
+    h = (windows.astype(np.uint64) * _GRAM_COEF[:n]).sum(
+        axis=1, dtype=np.uint64)
+    # avalanche: without a final mix, near-identical windows map to
+    # near-identical buckets and the count vector loses discrimination
+    h ^= h >> 33
+    h *= np.uint64(0xFF51AFD7ED558CCD)
+    h ^= h >> 33
+    return np.bincount((h % np.uint64(dim)).astype(np.int64),
+                       minlength=dim).astype("float64")
 
 
 @pandas_udf(ArrayType(FloatType()))
@@ -272,9 +289,9 @@ def hashed_ngram_vector_udf(texts: pd.Series) -> pd.Series:
     """Per-RECORD normalized hashed n-gram vector (Arrow-batched).
 
     Computing the vector once per record and taking native dot products
-    per pair replaces the per-pair variant below, which re-hashed every
-    n-gram of both sides for every candidate pair — O(pairs x grams)
-    python hashing vs O(records x grams)."""
+    per pair replaces a per-pair variant that re-hashed every n-gram of
+    both sides for every candidate pair — O(pairs x grams) python
+    hashing vs O(records x grams) numpy hashing."""
     out = []
     for t in texts:
         v = _hash_vector(t if t is not None else "")

@@ -77,9 +77,12 @@ def connected_components(
     # coalescer won't go below defaultParallelism, so scope the conf.
     conf_key = "spark.sql.shuffle.partitions"
     old_partitions = spark.conf.get(conf_key)
-    cores = spark.sparkContext.defaultParallelism
-    loop_partitions = int(max(cores, min(int(old_partitions),
-                                         stats_prev["n"] // 25_000 + 1)))
+    # NO floor at core count: a shrinking 100k-edge graph gains nothing
+    # from 8-way shuffles, and the extra tiny tasks made 8 cores SLOWER
+    # than 2 (profiled). Idle cores during the (short) CC tail are
+    # cheaper than per-task overhead on every iteration.
+    loop_partitions = int(max(2, min(int(old_partitions),
+                                     stats_prev["n"] // 25_000 + 1)))
     spark.conf.set(conf_key, str(loop_partitions))
     try:
         for i in range(max_iter):

@@ -36,6 +36,11 @@ class PipelineConfig:
     salt_cap: int = 32
     with_cosine: bool = True
     cc_max_iter: int = 25
+    # driver union-find fast path bound: <= 1M deduped edges is a few
+    # seconds and ~100 MB on the driver — far cheaper than the 10-20
+    # scheduler-bound jobs of the distributed loop at that size. A real
+    # corpus (edges >> 1M) takes the large-star/small-star path.
+    cc_driver_max_edges: int = 1_000_000
     extra: dict = field(default_factory=dict)
 
     def fingerprint(self) -> str:
@@ -80,7 +85,11 @@ def run_pipeline(
             # truncation every action re-analyzes the full upstream
             # MinHash expression tree (measured: ~3s of single-threaded
             # Catalyst planning per action, ~100KB plans) and the
-            # driver becomes the scaling bottleneck.
+            # driver becomes the scaling bottleneck. Eager (one action
+            # per stage): measured equal-or-faster than lazy fusion
+            # here, and materialization is deterministic — a lazy
+            # checkpoint referenced from both sides of a self-join can
+            # duplicate partition compute in the racing first job.
             return compute().localCheckpoint(eager=True)
         return store.get_or_compute(spark, name, input_snapshot, compute,
                                     sort_by=sort_by)
@@ -116,7 +125,8 @@ def run_pipeline(
     matches = scores.where("is_match").select("id_a", "id_b")
 
     def compute_components() -> DataFrame:
-        comp = connected_components(matches, max_iter=cfg.cc_max_iter)
+        comp = connected_components(matches, max_iter=cfg.cc_max_iter,
+                                    driver_max_edges=cfg.cc_driver_max_edges)
         singletons = (
             records.select("id")
             .join(comp.select("id"), "id", "left_anti")
