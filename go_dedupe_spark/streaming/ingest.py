@@ -54,6 +54,34 @@ def streaming_ingest_to_checkpoint(
     return writer.start()
 
 
+def streaming_exact_dedupe(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    key_cols: tuple[str, ...] = ("content_sha256",),
+) -> DataFrame:
+    """Stateful streaming exact-dedup: keep the FIRST record per content
+    hash, dropping later duplicates as they arrive.
+
+    The batch twin is ``dedupe.exact_duplicates``; the streaming version
+    is Spark's native stateful ``dropDuplicatesWithinWatermark`` — the
+    state store holds one entry per key and the watermark bounds state
+    size (keys older than the watermark are evicted, so an infinite
+    stream cannot grow state without bound). This is the idiomatic
+    Spark answer to "dedupe an unbounded ingest feed" — no custom
+    applyInPandasWithState needed for exact keys.
+
+    Input must carry an event-time column ``ts_col``. At 100 TB/day the
+    state store is RocksDB-backed (spark.sql.streaming.stateStore
+    .providerClass) and keys are the 32-byte sha — bounded and
+    partitioned by key hash across executors."""
+    return (
+        stream_df
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(list(key_cols))
+    )
+
+
 def hourly_event_rollup_stream(
     events_stream: DataFrame,
     watermark: str = "2 hours",

@@ -248,3 +248,33 @@ def test_streaming_normalize_ingest(spark, tmp_path, files_df):
     records = spark.read.parquet(str(tmp_path / "records"))
     assert records.count() == 50
     assert "content_sha256" in records.columns
+
+
+def test_streaming_exact_dedupe(spark, tmp_path):
+    """Stateful streaming dedup: duplicates of a content hash arriving
+    within the watermark are dropped; exactly one survivor per key."""
+    from go_dedupe_spark.streaming.ingest import streaming_exact_dedupe
+
+    rows = [(i, f"2024-01-01 00:{i % 5:02d}:00", f"sha{i % 10}")
+            for i in range(40)]
+    df = (spark.createDataFrame(rows, ["event_id", "ts_str", "content_sha256"])
+          .select("event_id", F.col("ts_str").cast("timestamp").alias("ts"),
+                  "content_sha256"))
+    src = str(tmp_path / "dedup_src")
+    df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out_dir = str(tmp_path / "dedup_out")
+    q = (
+        streaming_exact_dedupe(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "dedup_ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir).collect()
+    keys = [r["content_sha256"] for r in got]
+    assert sorted(keys) == sorted(set(keys))      # no dup keys survive
+    assert set(keys) == {f"sha{i}" for i in range(10)}
