@@ -86,9 +86,6 @@ def read_csv_records(
 # typed reason instead of being swallowed (errors.go:8-34 -> quarantine
 # columns; the reference logs-and-drops at index.go:75-77).
 
-_RECORD_COLS = ["id", "name", "address", "lon", "lat", "valid", "reason"]
-
-
 def _finish_record(df: DataFrame, prefix: str, raw_id, name, comps,
                    lon, lat, check_coords: bool = False) -> DataFrame:
     """Assemble the common record columns from per-source expressions.

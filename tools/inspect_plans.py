@@ -11,10 +11,8 @@ Usage: python tools/inspect_plans.py [query ...]
 
 from __future__ import annotations
 
-import io
 import re
 import sys
-from contextlib import redirect_stdout
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
