@@ -262,9 +262,28 @@ _GRAM_COEF = np.array(
 )
 
 
+def _gram_coef(n: int) -> np.ndarray:
+    """Per-position mixing constants for an n-wide window. The first 5
+    are the fixed xxhash primes above (keeps every n <= 5 vector, and
+    therefore every existing score, bit-identical); wider windows extend
+    the set deterministically with splitmix64-mixed odd constants."""
+    if n <= len(_GRAM_COEF):
+        return _GRAM_COEF[:n]
+    extra = []
+    for i in range(len(_GRAM_COEF), n):
+        with np.errstate(over="ignore"):
+            x = np.uint64(i + 1) * np.uint64(0x9E3779B97F4A7C15)
+            x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            x ^= x >> np.uint64(31)
+        extra.append(x | np.uint64(1))  # odd -> invertible mod 2^64
+    return np.concatenate([_GRAM_COEF, np.array(extra, dtype=np.uint64)])
+
+
 def _hash_vector(text: str, n: int = NGRAM_N, dim: int = HASH_DIM) -> np.ndarray:
     """Hashed char-n-gram count vector over UTF-8 bytes: sliding-window
-    polynomial bucketing, one numpy pass per record."""
+    polynomial bucketing, one numpy pass per record. Any n >= 1 works
+    (coefficients come from ``_gram_coef``)."""
     b = np.frombuffer((text or "").encode("utf-8"), dtype=np.uint8)
     if len(b) == 0:
         return np.zeros(dim, dtype="float64")
@@ -273,7 +292,7 @@ def _hash_vector(text: str, n: int = NGRAM_N, dim: int = HASH_DIM) -> np.ndarray
         windows = b[None, :]
     else:
         windows = np.lib.stride_tricks.sliding_window_view(b, n)
-    h = (windows.astype(np.uint64) * _GRAM_COEF[:n]).sum(
+    h = (windows.astype(np.uint64) * _gram_coef(n)).sum(
         axis=1, dtype=np.uint64)
     # avalanche: without a final mix, near-identical windows map to
     # near-identical buckets and the count vector loses discrimination

@@ -67,7 +67,7 @@ def cosine_topk_bruteforce(
 # ------------------------------------------------ compression variants
 
 
-def quantize_binary_expr(vec, bits_per_word: int = 60):
+def quantize_binary_expr(vec, bits_per_word: int = 60, dim: int | None = None):
     """X3 — binary quantization (vec_quantize_binary,
     vector/sqlite.go:205, :342): keep only the sign bit of each
     dimension, packed little-endian into 60-bit words (60 = the width
@@ -75,9 +75,18 @@ def quantize_binary_expr(vec, bits_per_word: int = 60):
     array<long>. Hamming distance between two quantized vectors
     approximates angle — 32x smaller than float32 at ~1-2% recall cost
     in the reference's own threshold tables (vector/sqlite_test.go:22-38
-    uses threshold 1 for quantized vs 4 for float)."""
+    uses threshold 1 for quantized vs 4 for float).
+
+    ``dim`` is the column's (fixed) vector dimensionality: exactly
+    ceil(dim / bits_per_word) word expressions are generated, so the
+    reference's own 768/1024-dim embeddings (vector/sqlite.go:113,
+    app/locations/compare/flags.go:30) quantize completely. Without
+    ``dim`` the word count defaults to 4 (dim <= 240) and a runtime
+    assert REJECTS wider vectors — wide input raises instead of
+    silently dropping sign bits past dim 240."""
     v = F.col(vec) if isinstance(vec, str) else vec
     n_words = F.ceil(F.size(v) / F.lit(bits_per_word)).cast("int")
+    max_words = 4 if dim is None else -(-dim // bits_per_word)
 
     def word(w: int):
         # Horner over the REVERSED slice: element 0 of the original
@@ -89,9 +98,21 @@ def quantize_binary_expr(vec, bits_per_word: int = 60):
             lambda acc, x: acc * 2 + F.when(x > 0, 1).otherwise(0),
         )
 
-    # dims are fixed per column in practice; 4 words covers dim <= 240
-    words = F.array(*[word(w) for w in range(4)])
-    return F.slice(words, 1, n_words)
+    words = F.array(*[word(w) for w in range(max_words)])
+    out = F.slice(words, 1, n_words)
+    # never truncate silently: assert_true returns NULL when the size
+    # fits (so the when() always takes the `out` branch) and THROWS on
+    # a vector wider than the generated words cover.
+    guard = F.assert_true(
+        F.size(v) <= F.lit(max_words * bits_per_word),
+        F.concat(
+            F.lit(f"quantize_binary_expr covers only {max_words * bits_per_word}"
+                  f" dims (words={max_words}); got size="),
+            F.size(v).cast("string"),
+            F.lit(" — pass dim= explicitly"),
+        ),
+    )
+    return F.when(guard.isNull(), out)
 
 
 def matryoshka_truncate(vec, dim: int):

@@ -100,11 +100,15 @@ def simhash_column(df: DataFrame, id_col: str, text_col: str,
     per-bit vote columns (cheap bit ops on the single hash) -> groupBy
     id with map-side partial sums. A pure column-expression formulation
     would re-evaluate the token-hash array once per bit aggregate
-    (16x the tokenizer + md5 work per row)."""
+    (16x the tokenizer + md5 work per row).
+
+    Zero-token docs are EXCLUDED (explicit filter — a simhash of an
+    empty token set is undefined, not 0); SQL twins must carry the same
+    ``len(toks) > 0`` guard or they diverge on degenerate input."""
     toked = df.select(
         F.col(id_col).alias("id"),
         word_tokens(F.col(text_col)).alias("toks"),
-    )
+    ).where(F.size("toks") > 0)
     ex = toked.select(
         "id", F.size("toks").alias("n_toks"), F.explode("toks").alias("tok")
     ).withColumn("h", token_hash64(F.col("tok")))
@@ -253,22 +257,37 @@ def embedding_cosine_pairs(
     vec_col: str = "embedding",
     block_col: str | None = "label",
     threshold: float = 0.9,
+    max_block: int = 100,
+    salt_cap: int = 40,
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine >= threshold. Pairs are
     generated within ``block_col`` groups (or use an LSH bucketing for
-    unblocked data — see ann.random_projection_buckets) so the join
-    never goes quadratic over the corpus."""
-    sel = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
-                     *( [F.col(block_col).alias("blk")] if block_col else []))
-    a = sel.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"),
-                   *( [F.col("blk").alias("blk_a")] if block_col else []))
-    b = sel.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"),
-                   *( [F.col("blk").alias("blk_b")] if block_col else []))
-    cond = F.col("id_a") < F.col("id_b")
-    if block_col:
-        cond = cond & (F.col("blk_a") == F.col("blk_b"))
+    unblocked data — see ann.cosine_topk_lsh) so the join never goes
+    quadratic over the corpus, AND dense blocks are md5-salted into
+    sub-blocks of ~``salt_cap`` members (operators/pairs.salted_rekey,
+    the same cap every other pair generator here uses) — one mega label
+    can no longer emit n(n-1)/2 pairs. With ``block_col=None`` the whole
+    corpus is one block and therefore gets salted: a bounded-recall
+    sub-sampling, not all-pairs — unblocked corpora should LSH-bucket
+    first (ann.make_srp_bucketer) and pass the bucket as block_col."""
+    from go_dedupe_spark.operators.pairs import salted_rekey
+
+    if block_col is None:
+        sel = emb.select(F.col(id_col).alias("id"),
+                         F.col(vec_col).alias("vec"),
+                         F.lit("__all__").alias("block_key"))
+    else:
+        sel = emb.select(F.col(id_col).alias("id"),
+                         F.col(vec_col).alias("vec"),
+                         F.col(block_col).cast("string").alias("block_key"))
+    keyed = salted_rekey(sel, max_block=max_block, salt_cap=salt_cap)
+    a = keyed.select(F.col("id").alias("id_a"),
+                     F.col("vec").alias("vec_a"), "block_key")
+    b = keyed.select(F.col("id").alias("id_b"),
+                     F.col("vec").alias("vec_b"), "block_key")
     return (
-        a.join(b, cond)
+        a.join(b, "block_key")
+        .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b",
                 F.round(cosine_expr("vec_a", "vec_b"), 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)

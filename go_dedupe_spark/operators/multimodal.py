@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     FloatType,
     IntegerType,
     StringType,
@@ -35,7 +36,7 @@ from pyspark.sql.types import (
 MEDIA_SCHEMA = StructType([
     StructField("media_id", StringType()),
     StructField("kind", StringType()),        # image | audio | video
-    StructField("media", StringType()),       # binary payload carrier
+    StructField("media", BinaryType()),       # opaque binary payload
     StructField("width", IntegerType()),
     StructField("height", IntegerType()),
 ])
@@ -74,7 +75,15 @@ def canonical_csv(feats_f64: np.ndarray) -> str:
     return ",".join(f"{float(x):.6f}" for x in feats_f64)
 
 
-def decode_image_batch(payloads: pd.Series, fake: bool = False) -> list[np.ndarray]:
+def _as_bytes(p) -> bytes:
+    if isinstance(p, bytes):
+        return p
+    if isinstance(p, (bytearray, memoryview)):
+        return bytes(p)
+    return str(p).encode()
+
+
+def decode_image_batch(payloads, fake: bool = False) -> list[np.ndarray]:
     """The stubbed decode seam (float64 features). Real deployments:
     PIL/torchvision here."""
     if not fake:
@@ -82,8 +91,7 @@ def decode_image_batch(payloads: pd.Series, fake: bool = False) -> list[np.ndarr
             "real image decode requires PIL/libvips — not in this container; "
             "pass fake=True for the deterministic stand-in"
         )
-    return [_fake_decode_f64(p if isinstance(p, bytes) else str(p).encode())
-            for p in payloads]
+    return [_fake_decode_f64(_as_bytes(p)) for p in payloads]
 
 
 def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
@@ -92,10 +100,8 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = pdf["media"]
-            raw = [p if isinstance(p, bytes) else str(p).encode()
-                   for p in payloads]
-            feats = decode_image_batch(payloads, fake=fake)
+            raw = [_as_bytes(p) for p in pdf["media"]]
+            feats = decode_image_batch(raw, fake=fake)
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
@@ -110,12 +116,13 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
 
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter: treat the documents table's text as an opaque media
-    payload (the testdata has no real binaries) — exercises the full
-    plumbing with a deterministic corpus."""
+    payload (the testdata has no real binaries) — the UTF-8 encode
+    makes the column a true BinaryType, so the whole plumbing runs the
+    exact schema a real image/audio corpus would carry."""
     return docs.select(
         F.col("doc_id").cast("string").alias("media_id"),
         F.lit("image").alias("kind"),
-        F.col("text").alias("media"),
+        F.encode(F.col("text"), "UTF-8").alias("media"),
         F.lit(64).alias("width"),
         F.lit(64).alias("height"),
     )

@@ -53,9 +53,15 @@ def salted_rekey(
 
     Shape: block sizes via groupBy (map-side partial aggregation —
     skew-immune, unlike a window over the skewed key which would funnel
-    a whole mega-block through one task), then a broadcast join of ONLY
-    the mega keys (tiny by construction: keys with n > max_block), then
-    a pure column rewrite. No persist: the downstream self-join reads
+    a whole mega-block through one task), then a left join of ONLY the
+    mega keys (tiny by construction: keys with n > max_block), then a
+    pure column rewrite. The mega-key join carries NO manual broadcast
+    hint: AQE converts it to broadcast at runtime from the MEASURED agg
+    output size (always, in any sane corpus), while a pathological key
+    distribution whose mega-key set exceeds broadcast limits degrades
+    to a sort-merge join with AQE skew splitting instead of OOMing the
+    driver — the same conditional-broadcast policy as scoring and
+    ngram_jaccard_pairs. No persist: the downstream self-join reads
     the rekeyed shuffle exchange twice via ReusedExchange, and the size
     aggregation's second scan of the input is cheap against a
     checkpointed stage table (callers with an expensive unmaterialized
@@ -64,7 +70,7 @@ def salted_rekey(
         keyed.groupBy(key_col).agg(F.count("*").alias("_n"))
         .where(F.col("_n") > max_block)
     )
-    joined = keyed.join(F.broadcast(mega_sizes), key_col, "left")
+    joined = keyed.join(mega_sizes, key_col, "left")
     n_salt = F.ceil(F.col("_n") / F.lit(salt_cap)).cast("long")
     salt = (
         F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)

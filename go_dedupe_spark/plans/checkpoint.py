@@ -8,10 +8,16 @@ writes a checkpoint table + a manifest; a rerun with the same
 ``input_snapshot`` reuses the checkpoint (skip), a changed snapshot
 recomputes. Incremental variants anti-join against the checkpoint.
 
-Backend: Parquet directories + JSON manifests. On a cluster this class
-is the seam where Iceberg slots in (``writeTo(...).createOrReplace()``
-with snapshot ids as input_snapshot) — the interface is identical; the
-sandbox container has no Iceberg runtime jar, so Parquet stands in.
+Storage is behind ``StorageBackend`` — a real seam, not design intent:
+- ``ParquetBackend`` (default): parquet directories + JSON manifests,
+  what the sandbox runs.
+- ``MemoryBackend``: in-process tables, proving the store logic is
+  backend-agnostic (tests/test_checkpoint.py runs the full pipeline
+  against it).
+- On a cluster the Iceberg backend implements ``write_table`` as
+  ``df.writeTo(ident).createOrReplace()`` and ``get_manifest`` from the
+  catalog's snapshot metadata (snapshot ids as input_snapshot); the
+  container has no Iceberg runtime jar, so it is not shipped here.
 
 Lineage/metrics schema (FIXTURES.md §4): stage, partition_id, rows_in,
 rows_out, wall_ms, input_snapshot.
@@ -21,46 +27,115 @@ from __future__ import annotations
 
 import hashlib
 import json
+import threading
 import time
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
 
-class CheckpointStore:
+class ParquetBackend:
+    """Parquet dirs + sibling JSON manifests + a metrics JSONL."""
+
     def __init__(self, root: str | Path):
         self.root = Path(root)
         self.root.mkdir(parents=True, exist_ok=True)
+        # stages may checkpoint from concurrent threads (the pipeline
+        # runs independent DAG branches in parallel) — serialize the
+        # shared metrics-file append
+        self._metrics_lock = threading.Lock()
 
-    def _dir(self, stage: str, input_snapshot: str) -> Path:
+    def write_table(self, df: DataFrame, key: str) -> DataFrame:
+        path = self.root / key
+        df.write.mode("overwrite").parquet(str(path))
+        return df.sparkSession.read.parquet(str(path))
+
+    def read_table(self, spark: SparkSession, key: str) -> DataFrame:
+        return spark.read.parquet(str(self.root / key))
+
+    def get_manifest(self, key: str) -> dict | None:
+        mf = (self.root / key).with_suffix(".manifest.json")
+        if not mf.exists():
+            return None
+        try:
+            return json.loads(mf.read_text())
+        except json.JSONDecodeError:
+            return None
+
+    def put_manifest(self, key: str, meta: dict) -> None:
+        (self.root / key).with_suffix(".manifest.json").write_text(
+            json.dumps(meta, indent=2))
+
+    def append_metric(self, rec: dict) -> None:
+        with self._metrics_lock, (self.root / "metrics.jsonl").open("a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+    def metrics(self) -> list[dict]:
+        path = self.root / "metrics.jsonl"
+        if not path.exists():
+            return []
+        return [json.loads(line)
+                for line in path.read_text().splitlines() if line]
+
+
+class MemoryBackend:
+    """In-process backend: tables as Arrow-collected pandas frames.
+    Exists to prove (and test) that CheckpointStore's resume logic is
+    storage-agnostic — the shape an Iceberg backend drops into."""
+
+    def __init__(self):
+        self._tables: dict[str, object] = {}     # key -> (pandas, schema)
+        self._manifests: dict[str, dict] = {}
+        self._metrics: list[dict] = []
+
+    def write_table(self, df: DataFrame, key: str) -> DataFrame:
+        self._tables[key] = (df.toPandas(), df.schema)
+        return self.read_table(df.sparkSession, key)
+
+    def read_table(self, spark: SparkSession, key: str) -> DataFrame:
+        pdf, schema = self._tables[key]
+        return spark.createDataFrame(pdf, schema=schema)
+
+    def get_manifest(self, key: str) -> dict | None:
+        return self._manifests.get(key)
+
+    def put_manifest(self, key: str, meta: dict) -> None:
+        self._manifests[key] = meta
+
+    def append_metric(self, rec: dict) -> None:
+        self._metrics.append(rec)
+
+    def metrics(self) -> list[dict]:
+        return list(self._metrics)
+
+
+class CheckpointStore:
+    def __init__(self, root: str | Path, backend=None):
+        self.root = Path(root)
+        self.backend = backend if backend is not None \
+            else ParquetBackend(self.root)
+
+    def _key(self, stage: str, input_snapshot: str) -> str:
         # content-addressed by snapshot: two configs/inputs NEVER share
-        # a directory, so (a) switching back and forth reuses each
-        # config's own checkpoint instead of thrashing recomputes, and
-        # (b) a recompute never overwrites parquet files that a
-        # previously returned (lazy) DataFrame still references.
+        # a key, so (a) switching back and forth reuses each config's
+        # own checkpoint instead of thrashing recomputes, and (b) a
+        # recompute never overwrites parquet files that a previously
+        # returned (lazy) DataFrame still references.
         h = hashlib.sha256(input_snapshot.encode()).hexdigest()[:12]
-        return self.root / f"{stage}@{h}"
-
-    def _manifest(self, stage: str, input_snapshot: str) -> Path:
-        return self._dir(stage, input_snapshot).with_suffix(".manifest.json")
+        return f"{stage}@{h}"
 
     def has(self, stage: str, input_snapshot: str) -> bool:
         """True iff a completed checkpoint for this exact input exists."""
-        mf = self._manifest(stage, input_snapshot)
-        if not mf.exists():
-            return False
-        try:
-            meta = json.loads(mf.read_text())
-        except json.JSONDecodeError:
-            return False
+        meta = self.backend.get_manifest(self._key(stage, input_snapshot))
         return (
-            meta.get("input_snapshot") == input_snapshot
+            meta is not None
+            and meta.get("input_snapshot") == input_snapshot
             and meta.get("complete") is True
         )
 
     def read(self, spark: SparkSession, stage: str,
              input_snapshot: str) -> DataFrame:
-        return spark.read.parquet(str(self._dir(stage, input_snapshot)))
+        return self.backend.read_table(spark, self._key(stage, input_snapshot))
 
     def write(
         self,
@@ -77,20 +152,23 @@ class CheckpointStore:
         out = df
         if sort_by:
             out = df.repartition(*sort_by).sortWithinPartitions(*sort_by)
-        path = self._dir(stage, input_snapshot)
-        out.write.mode("overwrite").parquet(str(path))
-        spark = df.sparkSession
-        persisted = spark.read.parquet(str(path))
+        key = self._key(stage, input_snapshot)
+        persisted = self.backend.write_table(out, key)
         rows_out = persisted.count()
         wall_ms = int((time.monotonic() - t0) * 1000)
-        self._manifest(stage, input_snapshot).write_text(json.dumps({
+        self.backend.put_manifest(key, {
             "stage": stage,
             "input_snapshot": input_snapshot,
             "rows_out": rows_out,
             "wall_ms": wall_ms,
             "complete": True,
-        }, indent=2))
-        self._append_metrics(spark, stage, input_snapshot, rows_out, wall_ms)
+        })
+        self.backend.append_metric({
+            "stage": stage,
+            "input_snapshot": input_snapshot,
+            "rows_out": rows_out,
+            "wall_ms": wall_ms,
+        })
         return persisted
 
     def get_or_compute(
@@ -109,22 +187,8 @@ class CheckpointStore:
 
     # ------------------------------------------------------------ metrics
 
-    def _append_metrics(self, spark, stage, snapshot, rows_out, wall_ms):
-        rec = {
-            "stage": stage,
-            "input_snapshot": snapshot,
-            "rows_out": rows_out,
-            "wall_ms": wall_ms,
-        }
-        path = self.root / "metrics.jsonl"
-        with path.open("a") as f:
-            f.write(json.dumps(rec) + "\n")
-
     def metrics(self) -> list[dict]:
-        path = self.root / "metrics.jsonl"
-        if not path.exists():
-            return []
-        return [json.loads(line) for line in path.read_text().splitlines() if line]
+        return self.backend.metrics()
 
     def partition_lineage(self, df: DataFrame, stage: str) -> DataFrame:
         """Per-partition row counts for a stage (lineage table,

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import asdict, dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -95,27 +96,46 @@ def run_pipeline(
                                     sort_by=sort_by)
 
     records = stage("records", lambda: normalize(files), sort_by=["id"])
-    blocks = stage(
-        "blocks",
-        lambda: make_blocks(
-            records,
-            num_hashes=cfg.num_hashes, band_rows=cfg.band_rows,
-            content_num_hashes=cfg.content_num_hashes,
-            content_band_rows=cfg.content_band_rows,
-        ),
-        sort_by=["block_key", "id"],
-    )
-    pairs = stage(
-        "pairs",
-        lambda: candidate_pairs(blocks, max_block=cfg.max_block,
-                                salt_cap=cfg.salt_cap),
-        sort_by=["id_a", "id_b"],
-    )
-    features = stage(
-        "features",
-        lambda: build_features(records, with_cosine=cfg.with_cosine),
-        sort_by=["id"],
-    )
+
+    # DAG-aware concurrency: ``features`` depends only on ``records``,
+    # not on blocks/pairs — so the Python-UDF-heavy feature job runs
+    # CONCURRENTLY with the JVM-heavy blocks->pairs chain (Spark's
+    # scheduler interleaves jobs submitted from separate threads). Each
+    # job's scheduling gaps and low-parallelism tails fill with the
+    # other's tasks; on one core this is a no-op (same total work), so
+    # it purely improves N->4N scaling efficiency and cluster
+    # utilization. Exceptions propagate on join.
+    def run_blocks_pairs() -> tuple[DataFrame, DataFrame]:
+        blocks = stage(
+            "blocks",
+            lambda: make_blocks(
+                records,
+                num_hashes=cfg.num_hashes, band_rows=cfg.band_rows,
+                content_num_hashes=cfg.content_num_hashes,
+                content_band_rows=cfg.content_band_rows,
+            ),
+            sort_by=["block_key", "id"],
+        )
+        pairs = stage(
+            "pairs",
+            lambda: candidate_pairs(blocks, max_block=cfg.max_block,
+                                    salt_cap=cfg.salt_cap),
+            sort_by=["id_a", "id_b"],
+        )
+        return blocks, pairs
+
+    def run_features() -> DataFrame:
+        return stage(
+            "features",
+            lambda: build_features(records, with_cosine=cfg.with_cosine),
+            sort_by=["id"],
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_bp = pool.submit(run_blocks_pairs)
+        f_feat = pool.submit(run_features)
+        blocks, pairs = f_bp.result()
+        features = f_feat.result()
     scores = stage(
         "scores",
         lambda: score_pairs(pairs, threshold=cfg.threshold,

@@ -72,11 +72,23 @@ def migrate_records(
 
 
 def _swap(staging: Path, final: Path) -> None:
+    """Replace ``final`` with ``staging`` without a window in which the
+    live table is GONE: the old dir is renamed aside first (rename is
+    atomic on one filesystem), the staging dir renamed in, and only
+    then is the old copy deleted. A crash between the two renames
+    leaves ``final.old`` intact — recovery is `mv final.old final`, and
+    a leftover ``final.old`` from a previous crash is cleared up front."""
     import shutil
 
-    if final.exists():
-        shutil.rmtree(final)
+    old = final.with_name(final.name + ".old")
+    if old.exists():
+        shutil.rmtree(old)
+    had_final = final.exists()
+    if had_final:
+        final.rename(old)
     staging.rename(final)
+    if had_final:
+        shutil.rmtree(old)
 
 
 def patch_if_changed(
@@ -84,14 +96,26 @@ def patch_if_changed(
     patches: DataFrame,
     key: str = "id",
 ) -> tuple[DataFrame, Column]:
-    """K5: join-update — apply every non-key column of ``patches`` to
-    the matching record, marking rows where at least one value actually
-    changed. Returns (patched_df_with_changed_flag, changed_condition).
+    """K5: join-update — apply every patch column that exists in the
+    records schema to the matching record, marking rows where at least
+    one value actually changed. Returns
+    (patched_df_with_changed_flag, changed_condition).
 
-    NULL-safe comparison (eqNullSafe) so a NULL->value or value->NULL
-    patch counts as a change but NULL->NULL does not — the semantics of
-    export.AssignPropertiesIfChanged (process.go:387-393)."""
+    Semantics (the coherent ones after a left join, where "no matching
+    patch row" and "patch value NULL" are indistinguishable): a non-NULL
+    patch value differing from the record's (including NULL->value)
+    counts as a change; a NULL patch value is a NO-OP, never a
+    value->NULL erase — erasure needs an explicit sentinel, exactly as
+    the reference patches whole property values rather than deleting
+    keys (export.AssignPropertiesIfChanged, process.go:387-393). Patch
+    columns absent from the records schema raise — silently dropping a
+    requested patch is a data-loss bug."""
     patch_cols = [c for c in patches.columns if c != key]
+    missing = [c for c in patch_cols if c not in records.columns]
+    if missing:
+        raise ValueError(
+            f"patch columns not in records schema: {missing} "
+            f"(records has {records.columns})")
     p = patches.select(
         key, *[F.col(c).alias(f"_patch_{c}") for c in patch_cols])
     joined = records.join(p, key, "left")

@@ -95,3 +95,20 @@ def test_non_ascii_byte_semantics():
     assert _jaro_winkler(a, b) == pytest.approx(want, abs=1e-12)
     got = _jaro_winkler_batch(pd.Series([a]), pd.Series([b]))[0]
     assert got == pytest.approx(want, abs=1e-12)
+
+
+def test_hash_vector_wide_ngram():
+    """ADVICE r2: _hash_vector must support any window width n, with
+    n <= 5 vectors bit-identical to the fixed-constant era."""
+    import numpy as np
+
+    from go_dedupe_spark.functions.similarity import _GRAM_COEF, _gram_coef, _hash_vector
+
+    assert (_gram_coef(5) == _GRAM_COEF).all()
+    text = "hello world this is a longer line of text for hashing"
+    v8 = _hash_vector(text, n=8)
+    assert v8.sum() > 0
+    assert (v8 == _hash_vector(text, n=8)).all()          # deterministic
+    assert not (v8 == _hash_vector(text, n=9)).all()      # n matters
+    c = _gram_coef(12)
+    assert len(np.unique(c)) == 12 and (c % 2 == 1).all() # distinct, odd

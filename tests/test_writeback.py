@@ -88,3 +88,57 @@ def test_noop_patch_leaves_table_byte_identical(spark, tmp_path):
     assert n2 == 1
     rows = {r["id"]: r["val"] for r in spark.read.parquet(str(table)).collect()}
     assert rows == {"a": "z", "b": "y"}
+
+
+def test_patch_unknown_column_raises(spark):
+    """ADVICE r2: a patch column absent from the records schema must
+    raise, not silently drop the requested patch."""
+    import pytest
+
+    records = spark.createDataFrame([("a", "x")], ["id", "val"])
+    patches = spark.createDataFrame([("a", "x", 1)], ["id", "val", "nope"])
+    with pytest.raises(ValueError, match="nope"):
+        patch_if_changed(records, patches)
+
+
+def test_swap_clears_leftover_and_replaces(tmp_path):
+    from go_dedupe_spark.plans.writeback import _swap
+
+    final, staging = tmp_path / "t", tmp_path / "t.staging"
+    final.mkdir(); (final / "a.parquet").write_text("old")
+    staging.mkdir(); (staging / "a.parquet").write_text("new")
+    leftover = tmp_path / "t.old"
+    leftover.mkdir(); (leftover / "junk").write_text("x")   # prior crash
+    _swap(staging, final)
+    assert (final / "a.parquet").read_text() == "new"
+    assert not leftover.exists() and not staging.exists()
+
+
+def test_swap_interrupted_leaves_recoverable_copy(tmp_path, monkeypatch):
+    """ADVICE r2: a crash inside the swap window must never leave the
+    live table deleted — the old dir is renamed aside first, so
+    recovery is `mv t.old t`."""
+    import pytest
+
+    from go_dedupe_spark.plans import writeback
+
+    final, staging = tmp_path / "t", tmp_path / "t.staging"
+    final.mkdir(); (final / "a.parquet").write_text("old")
+    staging.mkdir(); (staging / "a.parquet").write_text("new")
+    real = Path.rename
+    calls = {"n": 0}
+
+    def flaky(self, target):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise OSError("simulated crash between renames")
+        return real(self, target)
+
+    monkeypatch.setattr(Path, "rename", flaky)
+    with pytest.raises(OSError):
+        writeback._swap(staging, final)
+    monkeypatch.setattr(Path, "rename", real)
+    old = tmp_path / "t.old"
+    assert old.exists() and (old / "a.parquet").read_text() == "old"
+    old.rename(final)                                   # documented recovery
+    assert (final / "a.parquet").read_text() == "old"
