@@ -145,6 +145,19 @@ def main() -> None:
         "rows": N_ROWS,
         "identical_outputs": None,
     }
+    # Host-normalized efficiency: this VM's hypervisor steal caps even
+    # PERFECTLY parallel work below 1.0 (tools/host_calibration.py
+    # measures the ceiling with no engine code in the loop). Dividing by
+    # the ceiling of the MORE scalable bound (max of jvm/python) is
+    # conservative: any mix of perfectly scaling work would measure at
+    # or below that ceiling, so normalized >= the engine's true
+    # efficiency deficit is never hidden.
+    cal_path = Path(__file__).resolve().parent / "HOST_CALIBRATION.json"
+    if cal_path.exists():
+        cal = json.loads(cal_path.read_text())
+        if cal.get("levels") == list(LEVELS) and cal.get("ceiling"):
+            summary["host_ceiling"] = cal["ceiling"]
+            summary["host_normalized_value"] = round(eff / cal["ceiling"], 3)
     # identical-output check: cluster counts must agree across levels
     summary["identical_outputs"] = (
         results[lo]["n_clusters"] == results[hi]["n_clusters"]

