@@ -41,6 +41,12 @@ CORPUS = Path(os.environ.get("SCALING_CORPUS", "/tmp/go_dedupe_scaling_corpus"))
 # (1, 4) is the largest N:4N pair where the MACHINE itself can still
 # demonstrate near-linear scaling.
 LEVELS = (1, 4)
+# Best-of-N per level (fresh JVM each trial): hypervisor steal comes in
+# bursts lasting minutes; a single unlucky trial measures the
+# hypervisor's mood, not the engine. The SAME protocol is used by
+# tools/host_calibration.py, so the raw and host-normalized numbers
+# are like-for-like.
+TRIALS = int(os.environ.get("SCALING_TRIALS", "2"))
 
 
 def ensure_corpus() -> None:
@@ -125,13 +131,20 @@ def main() -> None:
         cmd = [sys.executable, __file__, "--worker", str(k)]
         if shutil_which("taskset"):
             cmd = ["taskset", "-c", f"0-{k - 1}"] + cmd
-        out = subprocess.run(
-            cmd,
-            capture_output=True, text=True, timeout=1800, check=True,
-            cwd=str(Path(__file__).resolve().parent),
-        )
-        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-        results[k] = json.loads(line)
+        trials = []
+        for _ in range(TRIALS):
+            out = subprocess.run(
+                cmd,
+                capture_output=True, text=True, timeout=3600, check=True,
+                cwd=str(Path(__file__).resolve().parent),
+            )
+            line = [ln for ln in out.stdout.splitlines()
+                    if ln.startswith("{")][-1]
+            trials.append(json.loads(line))
+        best = max(trials, key=lambda t: t["rows_per_sec"])
+        best["trials_rows_per_sec"] = [t["rows_per_sec"] for t in trials]
+        assert len({t["n_clusters"] for t in trials}) == 1
+        results[k] = best
 
     lo, hi = LEVELS
     r_lo = results[lo]["rows_per_sec"]

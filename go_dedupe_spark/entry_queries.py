@@ -729,6 +729,51 @@ def ann_topk_lsh(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+IVF_EVERY = 50      # deterministic coarse quantizer: every 50th vector
+IVF_NPROBE = 2
+
+
+@query("ann_topk_ivf", f"""
+WITH e AS ({_SQL_EMB}),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % {IVF_EVERY} = 0),
+ia AS (SELECT e.vec_id AS item_id, e.v AS iv, c.cid,
+         round({_sql_cosine('e.v', 'c.cv')}, 6) AS ccos
+       FROM e CROSS JOIN c
+       QUALIFY row_number() OVER (PARTITION BY item_id
+               ORDER BY ccos DESC, cid) = 1),
+qp AS (SELECT e.vec_id AS query_id, e.v AS qv, c.cid,
+         round({_sql_cosine('e.v', 'c.cv')}, 6) AS qcos
+       FROM e CROSS JOIN c WHERE e.vec_id < {ANN_NQ}
+       QUALIFY row_number() OVER (PARTITION BY query_id
+               ORDER BY qcos DESC, cid) <= {IVF_NPROBE}),
+s AS (SELECT qp.query_id, ia.item_id,
+        round({_sql_cosine('qp.qv', 'ia.iv')}, 6) AS cosine
+      FROM qp JOIN ia USING (cid) WHERE ia.item_id <> qp.query_id)
+SELECT query_id, item_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, item_id) AS BIGINT) AS rank
+FROM s QUALIFY rank <= {ANN_K}
+""")
+def ann_topk_ivf(spark, sf_dir):
+    """IVF coarse-quantizer ANN: items assigned to their nearest
+    centroid (inverted lists), queries probe their nprobe nearest
+    lists — the third ANN scale path beside brute force and SRP-LSH.
+    Centroids here are a deterministic subset (every 50th vector) so
+    the DuckDB twin recomputes assignment and probing value-exact; a
+    production corpus would k-means them (the operator takes any
+    centroid DataFrame)."""
+    from go_dedupe_spark.operators.ann import cosine_topk_ivf
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    centroids = emb.where(F.col("vec_id") % IVF_EVERY == 0)
+    queries_df = emb.where(F.col("vec_id") < ANN_NQ)
+    out = cosine_topk_ivf(emb, queries_df, centroids, k=ANN_K,
+                          nprobe=IVF_NPROBE)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 # ======================================================= text analysis
 
 _SQL_TOKS_KEEPCASE = (

@@ -28,6 +28,7 @@ from go_dedupe_spark.operators.dedupe import (  # noqa: F401
 )
 from go_dedupe_spark.operators.ann import (  # noqa: F401
     cosine_topk_bruteforce,
+    cosine_topk_ivf,
     cosine_topk_lsh,
     matryoshka_truncate,
     quantize_binary_expr,

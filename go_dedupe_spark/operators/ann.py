@@ -64,6 +64,72 @@ def cosine_topk_bruteforce(
     )
 
 
+def cosine_topk_ivf(
+    items: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str | None = None,
+) -> DataFrame:
+    """IVF-style ANN (the inverted-file coarse quantizer shape of FAISS
+    / the reference's partition-per-geohash vector stores): a small
+    ``centroids`` set partitions the corpus into inverted lists — each
+    item is assigned to its single nearest centroid — and each query
+    probes only its ``nprobe`` nearest lists. Returns the brute-force
+    schema (query_id, item_id, cosine, rank).
+
+    Scale shape: centroids broadcast (they are small by construction);
+    the N x C assignment scores natively and the rank<=1 filter is a
+    WindowGroupLimit in Spark 4 — each map task keeps ONE row per item
+    before the exchange, so the assignment shuffle is ~N rows, not NxC.
+    The probe explosion is on the query side only (nprobe rows per
+    query). Cosines are rounded to 6 decimals BEFORE ranking with id
+    tie-breaks, so assignment and results are bit-reproducible in the
+    DuckDB oracle."""
+    cid = centroid_id_col or id_col
+    c = centroids.select(F.col(cid).alias("cid"),
+                         F.col(vec_col).alias("cvec"))
+    it = items.select(F.col(id_col).alias("item_id"),
+                      F.col(vec_col).alias("ivec"))
+    w_assign = Window.partitionBy("item_id").orderBy(F.desc("ccos"),
+                                                     F.col("cid"))
+    assigned = (
+        it.crossJoin(F.broadcast(c))
+        .select("item_id", "ivec", "cid",
+                F.round(cosine_expr("ivec", "cvec"), 6).alias("ccos"))
+        .withColumn("_r", F.row_number().over(w_assign))
+        .where(F.col("_r") == 1)
+        .select("item_id", "ivec", "cid")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qvec"))
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("qcos"),
+                                                     F.col("cid"))
+    probes = (
+        q.crossJoin(F.broadcast(c))
+        .select("query_id", "qvec", "cid",
+                F.round(cosine_expr("qvec", "cvec"), 6).alias("qcos"))
+        .withColumn("_r", F.row_number().over(w_probe))
+        .where(F.col("_r") <= nprobe)
+        .select("query_id", "qvec", "cid")
+    )
+    joined = assigned.join(probes, "cid") \
+        .where(F.col("query_id") != F.col("item_id"))
+    scored = joined.select(
+        "query_id", "item_id",
+        F.round(cosine_expr("qvec", "ivec"), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.col("item_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 # ------------------------------------------------ compression variants
 
 

@@ -82,6 +82,56 @@ def streaming_exact_dedupe(
     )
 
 
+def streaming_canonical_assign(
+    stream_df: DataFrame,
+    key_col: str = "content_sha256",
+    id_col: str = "id",
+) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-content-key CANONICAL ASSIGNMENT over an unbounded ingest feed.
+
+    The first record ever seen for a key becomes its canonical; every
+    later arrival is EMITTED (not dropped) tagged with the canonical id,
+    a duplicate flag, and the running occurrence count — the streaming
+    form of the resolution stage's supersession edges, and something
+    ``dropDuplicatesWithinWatermark`` cannot express (it can only drop).
+    State per key: (canonical_id, n_seen) — tiny and fixed-width; at
+    corpus scale back the state store with RocksDB
+    (spark.sql.streaming.stateStore.providerClass) and add a TTL via
+    GroupStateTimeout if keys are evictable.
+
+    Output: (key, id, canonical_id, is_duplicate, n_seen)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_cols = ["key", "id", "canonical_id", "is_duplicate", "n_seen"]
+
+    def assign(key, pdf_iter, state: GroupState):
+        (k,) = key
+        canonical, n = state.get if state.exists else (None, 0)
+        rows = []
+        for pdf in pdf_iter:
+            # deterministic within a batch: ascending id order
+            for rid in sorted(pdf[id_col].astype(str)):
+                if canonical is None:
+                    canonical = rid
+                n += 1
+                rows.append((k, rid, canonical, rid != canonical, n))
+        state.update((canonical, n))
+        yield pd.DataFrame(rows, columns=out_cols)
+
+    sel = stream_df.select(F.col(key_col).cast("string").alias("key"),
+                           F.col(id_col).cast("string").alias(id_col))
+    return sel.groupBy("key").applyInPandasWithState(
+        assign,
+        outputStructType=("key string, id string, canonical_id string, "
+                          "is_duplicate boolean, n_seen long"),
+        stateStructType="canonical_id string, n_seen long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def hourly_event_rollup_stream(
     events_stream: DataFrame,
     watermark: str = "2 hours",

@@ -326,3 +326,72 @@ def test_media_column_is_binary_and_accepts_real_bytes(spark):
     for i, p in enumerate(payloads):
         assert rows[str(i)]["n_bytes"] == len(p)
         assert rows[str(i)]["sha256"] == hashlib.sha256(p).hexdigest()
+
+
+def test_ann_ivf_finds_planted_neighbor(emb):
+    """IVF coarse quantizer: near-identical vectors land in the same
+    inverted list (their nearest centroid agrees), so the planted
+    neighbor survives list pruning; results are a subset of brute-force
+    scores with identical cosines."""
+    from go_dedupe_spark.operators.ann import cosine_topk_bruteforce, cosine_topk_ivf
+
+    centroids = emb.where("vec_id % 5 = 0")          # 4 deterministic lists
+    out = cosine_topk_ivf(emb, emb.where("vec_id = 0"), centroids,
+                          k=3, nprobe=2)
+    rows = out.collect()
+    assert any(r["item_id"] == 1 for r in rows)       # planted near-dup
+    brute = {(r["query_id"], r["item_id"]): r["cosine"]
+             for r in cosine_topk_bruteforce(emb, emb.where("vec_id = 0"),
+                                             k=20).collect()}
+    for r in rows:
+        assert brute[(r["query_id"], r["item_id"])] == r["cosine"]
+    # determinism
+    again = sorted(map(tuple, cosine_topk_ivf(
+        emb, emb.where("vec_id = 0"), centroids, k=3, nprobe=2).collect()))
+    assert sorted(map(tuple, rows)) == again
+
+
+def test_streaming_canonical_assign_state_across_batches(spark, tmp_path):
+    """Custom applyInPandasWithState operator: the first-seen id per
+    content key becomes canonical and PERSISTS in the state store across
+    micro-batches — later arrivals (second batch, maxFilesPerTrigger=1)
+    are emitted tagged with the first batch's canonical, with a running
+    occurrence count. dropDuplicatesWithinWatermark can only drop;
+    this tags."""
+    from go_dedupe_spark.streaming.ingest import streaming_canonical_assign
+
+    src = tmp_path / "canon_src"
+    batch1 = spark.createDataFrame(
+        [(f"id{i:03d}", f"sha{i % 5}") for i in range(10)],
+        ["id", "content_sha256"])
+    batch2 = spark.createDataFrame(
+        [(f"id{i:03d}", f"sha{i % 5}") for i in range(10, 20)],
+        ["id", "content_sha256"])
+    batch1.repartition(1).write.parquet(str(src / "f1"))
+    batch2.repartition(1).write.parquet(str(src / "f2"))
+
+    stream = (spark.readStream.schema(batch1.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src / "*")))
+    out_dir = str(tmp_path / "canon_out")
+    q = (
+        streaming_canonical_assign(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "canon_ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.read.parquet(out_dir).collect()
+    assert len(rows) == 20                              # nothing dropped
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["key"], []).append(r)
+    for key, grp in by_key.items():
+        canon = {r["canonical_id"] for r in grp}
+        assert len(canon) == 1                          # one canonical/key
+        assert canon.pop() < "id010"                    # from batch 1
+        assert sorted(r["n_seen"] for r in grp) == list(range(1, len(grp) + 1))
+        assert sum(not r["is_duplicate"] for r in grp) == 1

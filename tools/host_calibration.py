@@ -39,12 +39,17 @@ from shutil import which
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-JVM_ROWS = int(os.environ.get("CAL_JVM_ROWS", "2000000"))
-PY_ROWS = int(os.environ.get("CAL_PY_ROWS", "200000"))
+JVM_ROWS = int(os.environ.get("CAL_JVM_ROWS", "6000000"))
+PY_ROWS = int(os.environ.get("CAL_PY_ROWS", "600000"))
+# best-of-N: hypervisor steal comes in bursts; the CEILING is the host's
+# capability, so each workload takes the fastest of N trials
+TRIALS = int(os.environ.get("CAL_TRIALS", "3"))
+
+
+import pandas as pd  # noqa: E402  (module-level: pandas_udf type hints resolve here)
 
 
 def worker(cores: int) -> None:
-    import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
 
@@ -77,10 +82,16 @@ def worker(cores: int) -> None:
     jvm_df(JVM_ROWS // 10).collect()
     py_df(PY_ROWS // 10).collect()
 
-    t0 = time.monotonic(); jvm_df(JVM_ROWS).collect()
-    t_jvm = time.monotonic() - t0
-    t0 = time.monotonic(); py_df(PY_ROWS).collect()
-    t_py = time.monotonic() - t0
+    def best_of(make_df, n):
+        best = float("inf")
+        for _ in range(TRIALS):
+            t0 = time.monotonic()
+            make_df(n).collect()
+            best = min(best, time.monotonic() - t0)
+        return best
+
+    t_jvm = best_of(jvm_df, JVM_ROWS)
+    t_py = best_of(py_df, PY_ROWS)
     print(json.dumps({"cores": cores, "jvm_sec": round(t_jvm, 3),
                       "python_sec": round(t_py, 3)}))
 
