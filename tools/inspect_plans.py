@@ -49,6 +49,13 @@ CHECKS = {
         "forbid": ["CartesianProduct"],
         "forbid_logical": ["ResolvedHint"],
     },
+    # IVF assignment: the rank<=1 filter must compile to WindowGroupLimit
+    # (one row per item kept per map task BEFORE the exchange), and the
+    # broadcast crossJoin must not degrade to a CartesianProduct
+    "ann_topk_ivf": {
+        "require": ["WindowGroupLimit"],
+        "forbid": ["CartesianProduct"],
+    },
     "window_topk_orders": {
         # WindowGroupLimit (Partial before the shuffle) is the Spark-4
         # top-k pushdown: each map task keeps only k rows per key before
