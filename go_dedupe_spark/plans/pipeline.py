@@ -42,6 +42,14 @@ class PipelineConfig:
     # scheduler-bound jobs of the distributed loop at that size. A real
     # corpus (edges >> 1M) takes the large-star/small-star path.
     cc_driver_max_edges: int = 1_000_000
+    # materialize independent DAG branches (features || blocks->pairs)
+    # from concurrent driver threads. OFF by default: a pinned-core A/B
+    # (bench_scaling SCALING_CONCURRENT, 100k rows) measured sequential
+    # ~5% FASTER at both 1 and 4 cores — at executor-like core counts
+    # the two jobs' memory footprints and python-worker sets overlap
+    # more than they fill scheduling gaps. Enable on slot-rich clusters
+    # where a single job cannot keep every executor busy.
+    concurrent_stages: bool = False
     extra: dict = field(default_factory=dict)
 
     def fingerprint(self) -> str:
@@ -131,11 +139,15 @@ def run_pipeline(
             sort_by=["id"],
         )
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        f_bp = pool.submit(run_blocks_pairs)
-        f_feat = pool.submit(run_features)
-        blocks, pairs = f_bp.result()
-        features = f_feat.result()
+    if cfg.concurrent_stages:
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_bp = pool.submit(run_blocks_pairs)
+            f_feat = pool.submit(run_features)
+            blocks, pairs = f_bp.result()
+            features = f_feat.result()
+    else:
+        blocks, pairs = run_blocks_pairs()
+        features = run_features()
     scores = stage(
         "scores",
         lambda: score_pairs(pairs, threshold=cfg.threshold,
