@@ -26,6 +26,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Single source of truth for the driver union-find fast-path bound
+# (pipeline.PipelineConfig.cc_driver_max_edges defaults to this too).
+# Rationale (measured): <= 1M deduped edges collect in a few seconds and
+# ~100 MB on the driver — far cheaper than the 10-20 scheduler-bound
+# jobs of the distributed loop at that size; above it the alternating
+# large-star/small-star path runs distributed.
+DRIVER_MAX_EDGES_DEFAULT = 1_000_000
+
 
 def connected_components(
     edges: DataFrame,
@@ -33,7 +41,7 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 25,
     checkpoint_fn=None,
-    driver_max_edges: int = 100_000,
+    driver_max_edges: int = DRIVER_MAX_EDGES_DEFAULT,
 ) -> DataFrame:
     """edges(src, dst) -> components(id, cluster_id).
 
@@ -84,6 +92,14 @@ def connected_components(
     loop_partitions = int(max(2, min(int(old_partitions),
                                      stats_prev["n"] // 25_000 + 1)))
     spark.conf.set(conf_key, str(loop_partitions))
+    # Constraint propagation is (a) useless in this loop — there are no
+    # downstream filters to infer — and (b) broken for the small-star
+    # union shape on some inputs (UnionBase.rewriteConstraints throws
+    # NoSuchElementException rewriting the self-edge branch's attribute
+    # map, observed on Spark 4.1). Scope-disable it for the loop only.
+    cp_key = "spark.sql.constraintPropagation.enabled"
+    old_cp = spark.conf.get(cp_key)
+    spark.conf.set(cp_key, "false")
     try:
         for i in range(max_iter):
             e2 = _small_star(_large_star(e))
@@ -100,6 +116,7 @@ def connected_components(
             stats_prev = stats
     finally:
         spark.conf.set(conf_key, old_partitions)
+        spark.conf.set(cp_key, old_cp)
 
     # after convergence every v points at its component min u
     comp = e.select(F.col("v").alias("id"), F.col("u").alias("cluster_id"))
@@ -164,29 +181,51 @@ def _neighborhoods(e: DataFrame) -> DataFrame:
 
 
 def _large_star(e: DataFrame) -> DataFrame:
-    """Connect strictly-larger neighbors to the neighborhood minimum."""
+    """Connect strictly-larger neighbors to the neighborhood minimum.
+
+    Array-free formulation: the neighborhood minimum is a plain
+    ``groupBy(u).agg(min(v))`` (map-side partial agg — a hub node's
+    million adjacency rows combine down to one long per map task) joined
+    back onto the adjacency rows. The earlier ``collect_set`` version
+    materialized a hub's ENTIRE neighborhood as one in-memory array in a
+    single task — and CC iterations concentrate edges onto component
+    minima, so an m-member cluster built an m-element array at its root
+    (executor OOM at mega-cluster scale, invisible at bench scale).
+    Here every row streams through the join; per-row state is O(1), and
+    AQE's skew-join splitting can further divide a hub's join partition
+    — something no aggregate-to-array plan allows.
+    """
     adj = _neighborhoods(e)
-    grouped = adj.groupBy("u").agg(F.collect_set("v").alias("nbrs"))
-    m = F.array_min(F.array_union(F.col("nbrs"), F.array(F.col("u"))))
+    # group under a RENAMED key: mins and adj share lineage (self-join),
+    # and distinct output attributes keep the join condition unambiguous
+    mins = adj.groupBy(F.col("u").alias("mu")).agg(F.min("v").alias("nbr_min"))
+    m = F.least(F.col("nbr_min"), F.col("u"))
     return (
-        grouped.select("u", m.alias("m"), F.explode("nbrs").alias("v"))
+        adj.join(mins, adj["u"] == mins["mu"])
         .where(F.col("v") > F.col("u"))
-        .select(F.col("m").alias("u"), F.col("v"))
+        .select(m.alias("u"), F.col("v"))
         .where(F.col("u") != F.col("v"))
     )
 
 
 def _small_star(e: DataFrame) -> DataFrame:
-    """Connect all smaller-or-equal neighbors (and u) to their minimum."""
-    # orient edges so u >= v, group by the larger endpoint
+    """Connect all smaller-or-equal neighbors (and u) to their minimum.
+
+    Same array-free shape as ``_large_star``: min-aggregate + join back.
+    With edges oriented u >= v (self-loops dropped upstream) the
+    neighborhood-with-self minimum is just ``min(v)`` and is strictly
+    below u, so the (m, u) self-edge is always emitted.
+    """
     oriented = e.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     )
-    grouped = oriented.groupBy("u").agg(F.collect_set("v").alias("nbrs"))
-    m = F.array_min(F.col("nbrs"))
-    return (
-        grouped.select("u", m.alias("m"),
-                       F.explode(F.array_union("nbrs", F.array("u"))).alias("v"))
+    mins = oriented.groupBy(F.col("u").alias("mu")).agg(F.min("v").alias("m"))
+    nbr_edges = (
+        oriented.join(mins, oriented["u"] == mins["mu"])
         .where(F.col("v") != F.col("m"))
         .select(F.col("m").alias("u"), F.col("v"))
     )
+    self_edges = mins.where(F.col("mu") != F.col("m")).select(
+        F.col("m").alias("u"), F.col("mu").alias("v")
+    )
+    return nbr_edges.union(self_edges)

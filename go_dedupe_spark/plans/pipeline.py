@@ -18,7 +18,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from go_dedupe_spark.operators.blocking import make_blocks
-from go_dedupe_spark.operators.components import connected_components
+from go_dedupe_spark.operators.components import (
+    DRIVER_MAX_EDGES_DEFAULT as CC_DRIVER_MAX_EDGES,
+    connected_components,
+)
 from go_dedupe_spark.operators.normalize import normalize
 from go_dedupe_spark.operators.pairs import candidate_pairs
 from go_dedupe_spark.operators.resolve import resolve_clusters
@@ -37,11 +40,9 @@ class PipelineConfig:
     salt_cap: int = 32
     with_cosine: bool = True
     cc_max_iter: int = 25
-    # driver union-find fast path bound: <= 1M deduped edges is a few
-    # seconds and ~100 MB on the driver — far cheaper than the 10-20
-    # scheduler-bound jobs of the distributed loop at that size. A real
-    # corpus (edges >> 1M) takes the large-star/small-star path.
-    cc_driver_max_edges: int = 1_000_000
+    # driver union-find fast path bound — single source of truth (with
+    # the measured rationale) lives in operators.components
+    cc_driver_max_edges: int = CC_DRIVER_MAX_EDGES
     # materialize independent DAG branches (features || blocks->pairs)
     # from concurrent driver threads. OFF by default: a pinned-core A/B
     # (bench_scaling SCALING_CONCURRENT, 100k rows) measured sequential

@@ -70,6 +70,25 @@ def test_ngram_jaccard(docs, spark):
     assert out[(1, 4)] < 0.2
 
 
+def test_ngram_jaccard_hashed_equals_string_path(docs, spark):
+    """VERDICT r3 wrong #2: grams are md5-prefix-hashed to int64 before
+    the pair join (8-byte ints on the wire instead of n-char strings).
+    The hashed path must produce IDENTICAL pairs and jaccard values to
+    the exact string-set path on the fixture corpus."""
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (3, 4)], ["id_a", "id_b"]
+    )
+
+    def run(hashed):
+        return sorted(
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in ngram_jaccard_pairs(docs, cand, threshold=0.0,
+                                         hash_grams=hashed).collect()
+        )
+
+    assert run(True) == run(False)
+
+
 def test_embedding_cosine_pairs(spark):
     rows = [
         (1, [1.0, 0.0, 0.0], 0),

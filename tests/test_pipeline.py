@@ -220,3 +220,45 @@ def test_distributed_cc_matches_driver_path(spark):
     # chain collapses to min element
     assert ("n040", "n000") in dist
     assert ("s019", "s000") in dist
+
+
+def test_distributed_cc_mega_component_no_arrays(spark):
+    """Mega-cluster hub hazard regression: a planted 100k-member star
+    (+ a chain grafted on, forcing several iterations) must run the
+    DISTRIBUTED path (driver_max_edges=0) — and the star steps must not
+    materialize neighborhoods as arrays (no collect_set in any plan),
+    since CC iterations concentrate edges onto the component min and an
+    array-per-root formulation OOMs one task at mega-cluster scale."""
+    from pyspark.sql import functions as F
+
+    from go_dedupe_spark.operators.components import (
+        _large_star,
+        _small_star,
+        connected_components,
+    )
+
+    leaves = spark.range(1, 100_001).select(
+        F.lit("hub").alias("id_a"),
+        F.format_string("m%06d", "id").alias("id_b"),
+    )
+    # chain hanging off one leaf: hub <- m000001 <- c00 <- ... <- c19
+    chain = spark.createDataFrame(
+        [("m000001", "c00")]
+        + [(f"c{i:02d}", f"c{i+1:02d}") for i in range(19)],
+        ["id_a", "id_b"],
+    )
+    edges = leaves.unionByName(chain)
+
+    # plan audit: neither star step aggregates to arrays
+    e = edges.selectExpr("id_a as u", "id_b as v")
+    for step in (_large_star(e), _small_star(e)):
+        plan = step._jdf.queryExecution().toString()
+        assert "collect_set" not in plan, plan
+        assert "ObjectHashAggregate" not in plan, plan
+
+    comp = connected_components(edges, driver_max_edges=0)
+    agg = comp.groupBy("cluster_id").count().collect()
+    assert len(agg) == 1
+    # 100k leaves + hub + 20 chain nodes, all rooted at min id "c00"
+    assert agg[0]["cluster_id"] == "c00"
+    assert agg[0]["count"] == 100_021
