@@ -43,12 +43,13 @@ CORPUS = Path(os.environ.get("SCALING_CORPUS", "/tmp/go_dedupe_scaling_corpus"))
 # (1, 4) is the largest N:4N pair where the MACHINE itself can still
 # demonstrate near-linear scaling.
 LEVELS = (1, 4)
-# Best-of-N per level (fresh JVM each trial): hypervisor steal comes in
-# bursts lasting minutes; a single unlucky trial measures the
-# hypervisor's mood, not the engine. The SAME protocol is used by
-# tools/host_calibration.py, so the raw and host-normalized numbers
-# are like-for-like.
-TRIALS = int(os.environ.get("SCALING_TRIALS", "2"))
+# N trials per level (fresh JVM each trial): hypervisor steal comes in
+# bursts lasting minutes; a single trial measures the hypervisor's
+# mood, not the engine. The headline ratio uses the MEDIAN rows/sec per
+# level; all trials are reported so the spread is visible. The SAME
+# protocol is used by tools/host_calibration.py, so the raw and
+# host-normalized numbers are like-for-like.
+TRIALS = int(os.environ.get("SCALING_TRIALS", "3"))
 
 
 def ensure_corpus() -> None:
@@ -121,8 +122,10 @@ def worker(cores: int) -> None:
         .repartition(2 * cores)
     n_rows = files.count()
 
+    # default "0" = bench the SHIPPED default config (PipelineConfig
+    # defaults concurrent_stages=False); "1" is the explicit A/B opt-in
     cfg = PipelineConfig(
-        concurrent_stages=os.environ.get("SCALING_CONCURRENT", "1") == "1")
+        concurrent_stages=os.environ.get("SCALING_CONCURRENT", "0") == "1")
 
     def run_once():
         result = run_pipeline(spark, files, cfg)
@@ -195,19 +198,37 @@ def main() -> None:
             line = [ln for ln in out.stdout.splitlines()
                     if ln.startswith("{")][-1]
             trials.append(json.loads(line))
-        best = max(trials, key=lambda t: t["rows_per_sec"])
-        best["trials_rows_per_sec"] = [t["rows_per_sec"] for t in trials]
+        import statistics
+
+        rps = sorted(t["rows_per_sec"] for t in trials)
+        med_rps = statistics.median(rps)
+        # carry the median trial's detail fields (cal probes bracket THAT
+        # window); attach every trial's rows/sec so the spread is visible
+        rep = min(trials, key=lambda t: abs(t["rows_per_sec"] - med_rps))
+        rep["rows_per_sec_median"] = round(med_rps, 1)
+        rep["trials_rows_per_sec"] = [t["rows_per_sec"] for t in trials]
+        rep["trials_seconds"] = [t["seconds"] for t in trials]
+        rep["spread"] = round(rps[-1] - rps[0], 1)
         assert len({t["n_clusters"] for t in trials}) == 1
-        results[k] = best
+        results[k] = rep
 
     lo, hi = LEVELS
-    r_lo = results[lo]["rows_per_sec"]
-    r_hi = results[hi]["rows_per_sec"]
+    r_lo = results[lo]["rows_per_sec_median"]
+    r_hi = results[hi]["rows_per_sec_median"]
     eff = (r_hi / r_lo) / (hi / lo)
+    lo_t = results[lo]["trials_rows_per_sec"]
+    hi_t = results[hi]["trials_rows_per_sec"]
     summary = {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
+        "trials_per_level": TRIALS,
+        # worst/best cross-pairing of trials: the honest envelope around
+        # the median-vs-median headline
+        "efficiency_range": [
+            round((min(hi_t) / max(lo_t)) / (hi / lo), 3),
+            round((max(hi_t) / min(lo_t)) / (hi / lo), 3),
+        ],
         "levels": results,
         "rows": N_ROWS,
         "identical_outputs": None,

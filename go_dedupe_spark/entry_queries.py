@@ -1312,8 +1312,7 @@ SELECT CAST(case_id AS BIGINT) AS case_id,
        THEN NULL
        ELSE y || '-' || (CASE WHEN mo = '' THEN '00' ELSE mo END)
               || '-' || (CASE WHEN d = '' THEN '00' ELSE d END) END AS sort_key,
-  (edtf IS NOT NULL
-   AND trim(edtf) NOT IN ('', 'uuuu', '..', 'open')) AS is_deprecated
+  (edtf IS NOT NULL) AS is_deprecated
 FROM p
 """)
 def edtf_sort_key_query(spark, sf_dir):

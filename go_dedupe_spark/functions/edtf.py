@@ -43,8 +43,14 @@ def edtf_sort_key(col: Column | str) -> Column:
 
 
 def edtf_is_deprecated(col: Column | str) -> Column:
-    """The F2 predicate: ANY non-null, non-unknown EDTF value marks the
-    record deprecated (`?exclude=properties.edtf:deprecated=.*`,
-    whosonfirst/iterator.go:38-41)."""
+    """The F2 predicate: ANY present (non-null) value marks the record
+    deprecated — INCLUDING the unknown sentinels ``uuuu``/``..``/
+    ``open``/``''`` — matching the reference's any-value regex filter
+    ``?exclude=properties.edtf:deprecated=.*`` (whosonfirst/
+    iterator.go:38-41): a writer that stored 'uuuu' meant "deprecated
+    at an unknown date", not "not deprecated". (The unknown sentinels
+    map to NULL only for ORDERING, in ``edtf_sort_key``.) This is also
+    exactly the filter read_geojson_dir applies (`IS NULL`) and the
+    WOF oracle reproduces."""
     c = F.col(col) if isinstance(col, str) else col
-    return c.isNotNull() & ~F.trim(c).isin(*_UNKNOWN)
+    return c.isNotNull()

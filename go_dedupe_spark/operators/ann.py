@@ -130,6 +130,75 @@ def cosine_topk_ivf(
     )
 
 
+def train_ivf_centroids(
+    items: DataFrame,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic spherical k-means (Lloyd's) trainer for
+    ``cosine_topk_ivf`` — pure DataFrame ops, no mllib dependency
+    (reference analog: the HNSW index build, vector/duckdb.go:273 —
+    the one-time structure that makes per-query probing sublinear).
+
+    - init: the k items ranked first by ``md5(id)`` — a deterministic
+      pseudo-random sample, rerun-stable with no RNG state.
+    - assign: nearest centroid by cosine, the same broadcast-centroids
+      + WindowGroupLimit shape as ``cosine_topk_ivf`` (the per-item
+      top-1 never shuffles N x C rows).
+    - update: element-wise mean via posexplode -> groupBy(cid, pos)
+      (map-side partial agg; the only collect_list builds ONE dim-sized
+      array per centroid, bounded by dim, never by corpus size), then
+      L2-normalized (spherical k-means: cosine assignment needs unit
+      centroids) and rounded to 6 decimals so reruns don't drift with
+      partition-order float summation.
+
+    Returns (cid string, <vec_col> array<double>) ready to pass as
+    ``centroids`` (with centroid_id_col="cid"). Centroids that lose
+    every member during an iteration drop out — callers get <= k lists,
+    the standard Lloyd's behavior."""
+    it = items.select(F.col(id_col).alias("item_id"),
+                      F.col(vec_col).cast("array<double>").alias("ivec"))
+    init = (
+        it.withColumn("_r", F.md5(F.col("item_id").cast("string")))
+        .orderBy("_r")
+        .limit(k)
+        .select(F.col("_r").alias("cid"), F.col("ivec").alias("cvec"))
+    )
+    c = init.localCheckpoint(eager=True)
+    w_assign = Window.partitionBy("item_id").orderBy(F.desc("ccos"),
+                                                     F.col("cid"))
+    for _ in range(iters):
+        assigned = (
+            it.crossJoin(F.broadcast(c))
+            .select("item_id", "ivec", "cid",
+                    F.round(cosine_expr("ivec", "cvec"), 6).alias("ccos"))
+            .withColumn("_rk", F.row_number().over(w_assign))
+            .where(F.col("_rk") == 1)
+            .select("cid", "ivec")
+        )
+        sums = (
+            assigned.select("cid", F.posexplode("ivec").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("val").alias("m"))
+        )
+        mean = (
+            sums.groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cid", F.transform("pm", lambda s: s["m"]).alias("mv"))
+        )
+        norm = F.sqrt(F.aggregate(F.transform("mv", lambda x: x * x),
+                                  F.lit(0.0), lambda a, x: a + x))
+        c = mean.select(
+            "cid",
+            F.when(norm > 0,
+                   F.transform("mv", lambda x: F.round(x / norm, 6)))
+             .otherwise(F.col("mv")).alias("cvec"),
+        ).localCheckpoint(eager=True)
+    return c.select("cid", F.col("cvec").alias(vec_col))
+
+
 # ------------------------------------------------ compression variants
 
 

@@ -1,12 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata, processed via mapInPandas.
 
-The decode step itself is STUBBED (the container has no image/audio
-libs): ``decode_image_batch`` raises NotImplementedError unless
-``fake=True``, in which case a deterministic fake decoder derives
-"pixels" from the sha256 of the bytes. Everything Spark-side — schema,
-partition sizing, Arrow batch shape, UDF signatures — is real and
-tested; swapping the fake for PIL/ffmpeg is a one-function change.
+The decode step is a seam: ``fake=True`` (the tested default in this
+container, which has no image/audio libs) derives deterministic
+"pixels" from the sha256 of the bytes; ``fake=False`` try-imports PIL
+and runs a real grayscale-resize decode through the SAME mapInPandas
+plumbing (raising a clear NotImplementedError when PIL is absent).
+Everything Spark-side — schema, partition sizing, Arrow batch shape,
+UDF signatures — is identical on both paths and tested.
 
 Reference ancestor: the image-embedding path of the Embedder interface
 (embeddings/embedder.go:16-25; ImageEmbeddings — ollama returns
@@ -83,14 +84,37 @@ def _as_bytes(p) -> bytes:
     return str(p).encode()
 
 
+def _pil_decode_f64(payload: bytes) -> np.ndarray:
+    """Real decode path: PIL open -> grayscale -> 4x4 resize -> 16
+    luminance features in [0, 1] (float64). Deterministic: nearest-
+    neighbor resampling has no platform-dependent filtering."""
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(payload)).convert("L")
+    side = int(FEATURE_DIM ** 0.5)
+    small = img.resize((side, side), resample=Image.NEAREST)
+    return np.asarray(small, dtype=np.float64).reshape(-1) / 255.0
+
+
 def decode_image_batch(payloads, fake: bool = False) -> list[np.ndarray]:
-    """The stubbed decode seam (float64 features). Real deployments:
-    PIL/torchvision here."""
+    """The decode seam (float64 features, length FEATURE_DIM).
+
+    ``fake=True`` (the tested default everywhere in this container) is
+    the deterministic sha256-derived stand-in. With ``fake=False`` the
+    REAL decoder runs via PIL when importable (try-import — the same
+    mapInPandas plumbing, schema and batch shape either way), and
+    raises a clear NotImplementedError when PIL is absent."""
     if not fake:
-        raise NotImplementedError(
-            "real image decode requires PIL/libvips — not in this container; "
-            "pass fake=True for the deterministic stand-in"
-        )
+        try:
+            import PIL  # noqa: F401
+        except ImportError as exc:
+            raise NotImplementedError(
+                "real image decode requires PIL — not in this container; "
+                "pass fake=True for the deterministic stand-in"
+            ) from exc
+        return [_pil_decode_f64(_as_bytes(p)) for p in payloads]
     return [_fake_decode_f64(_as_bytes(p)) for p in payloads]
 
 

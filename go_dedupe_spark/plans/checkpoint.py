@@ -14,10 +14,11 @@ Storage is behind ``StorageBackend`` — a real seam, not design intent:
 - ``MemoryBackend``: in-process tables, proving the store logic is
   backend-agnostic (tests/test_checkpoint.py runs the full pipeline
   against it).
-- On a cluster the Iceberg backend implements ``write_table`` as
-  ``df.writeTo(ident).createOrReplace()`` and ``get_manifest`` from the
-  catalog's snapshot metadata (snapshot ids as input_snapshot); the
-  container has no Iceberg runtime jar, so it is not shipped here.
+- ``IcebergBackend``: catalog tables via ``df.writeTo(ident)``, with
+  manifests as table properties — the cluster deployment path. It
+  FAILS FAST at construction when the iceberg-spark-runtime jar /
+  catalog conf is absent (this container has no Iceberg jar, so its
+  contract test skips here and runs on a provisioned cluster).
 
 Lineage/metrics schema (FIXTURES.md §4): stage, partition_id, rows_in,
 rows_out, wall_ms, input_snapshot.
@@ -107,6 +108,109 @@ class MemoryBackend:
 
     def metrics(self) -> list[dict]:
         return list(self._metrics)
+
+
+class IcebergBackend:
+    """Iceberg catalog tables behind the StorageBackend seam — the
+    cluster deployment story as code (reference at-rest ancestor:
+    location/sql.go:58-63, :102-122; the catalog's ACID table swap
+    replaces the parquet dir + .staging rename dance).
+
+    Requirements (FAIL-FAST checked at construction, not first write):
+    the iceberg-spark-runtime jar on the session classpath and a
+    configured catalog, e.g.::
+
+        spark.sql.catalog.local = org.apache.iceberg.spark.SparkCatalog
+        spark.sql.catalog.local.type = hadoop
+        spark.sql.catalog.local.warehouse = /path/warehouse
+
+    Mapping onto the seam:
+    - ``write_table``  -> ``df.writeTo(ident).createOrReplace()`` (an
+      atomic snapshot swap; readers of the previous snapshot are never
+      broken — the property the parquet backend approximates with the
+      rename shuffle in plans/writeback._swap).
+    - ``read_table``   -> ``spark.read.table(ident)``.
+    - manifests        -> table properties (``go_dedupe.manifest``), so
+      the resume rule travels WITH the table through catalog renames /
+      replication instead of living in a sidecar file.
+    - metrics          -> an append-only Iceberg table.
+    """
+
+    MANIFEST_PROP = "go_dedupe.manifest"
+
+    def __init__(self, spark: SparkSession, catalog: str = "local",
+                 namespace: str = "go_dedupe"):
+        self.spark = spark
+        self.catalog = catalog
+        self.namespace = namespace
+        impl = spark.conf.get(f"spark.sql.catalog.{catalog}", None)
+        if impl is None:
+            raise RuntimeError(
+                f"IcebergBackend: no catalog configured at "
+                f"spark.sql.catalog.{catalog} — add the "
+                f"iceberg-spark-runtime jar and catalog conf to the "
+                f"session (see class docstring)")
+        try:
+            spark.sql(f"CREATE NAMESPACE IF NOT EXISTS "
+                      f"{catalog}.{namespace}")
+        except Exception as exc:          # jar missing / catalog broken
+            raise RuntimeError(
+                f"IcebergBackend: catalog {catalog!r} is configured but "
+                f"unusable (is iceberg-spark-runtime on the classpath?): "
+                f"{exc}") from exc
+
+    def _ident(self, key: str) -> str:
+        # checkpoint keys are "stage@hash" — '@' needs quoting in SQL
+        # identifiers, so normalize to an identifier-safe name
+        safe = "".join(c if c.isalnum() or c == "_" else "_" for c in key)
+        return f"{self.catalog}.{self.namespace}.{safe}"
+
+    def write_table(self, df: DataFrame, key: str) -> DataFrame:
+        ident = self._ident(key)
+        df.writeTo(ident).createOrReplace()
+        return self.spark.read.table(ident)
+
+    def read_table(self, spark: SparkSession, key: str) -> DataFrame:
+        return spark.read.table(self._ident(key))
+
+    def get_manifest(self, key: str) -> dict | None:
+        try:
+            rows = self.spark.sql(
+                f"SHOW TBLPROPERTIES {self._ident(key)}").collect()
+        except Exception:                 # table absent -> no checkpoint
+            return None
+        props = {r["key"]: r["value"] for r in rows}
+        raw = props.get(self.MANIFEST_PROP)
+        if raw is None:
+            return None
+        try:
+            return json.loads(raw)
+        except json.JSONDecodeError:
+            return None
+
+    def put_manifest(self, key: str, meta: dict) -> None:
+        payload = json.dumps(meta).replace("'", "''")
+        self.spark.sql(
+            f"ALTER TABLE {self._ident(key)} SET TBLPROPERTIES "
+            f"('{self.MANIFEST_PROP}' = '{payload}')")
+
+    def _metrics_ident(self) -> str:
+        return f"{self.catalog}.{self.namespace}.metrics_jsonl"
+
+    def append_metric(self, rec: dict) -> None:
+        row = self.spark.createDataFrame(
+            [(json.dumps(rec),)], "value string")
+        try:
+            row.writeTo(self._metrics_ident()).append()
+        except Exception:                 # first write creates the table
+            row.writeTo(self._metrics_ident()).create()
+
+    def metrics(self) -> list[dict]:
+        try:
+            rows = self.spark.read.table(self._metrics_ident()).collect()
+        except Exception:
+            return []
+        return [json.loads(r["value"]) for r in rows]
 
 
 class CheckpointStore:

@@ -109,14 +109,22 @@ def streaming_canonical_assign(
     def assign(key, pdf_iter, state: GroupState):
         (k,) = key
         canonical, n = state.get if state.exists else (None, 0)
+        # Concatenate ALL Arrow chunks for the key BEFORE sorting: the
+        # iterator yields multiple chunks for large groups, and a
+        # per-chunk sort would make the canonical choice depend on
+        # chunk boundaries. Buffering is safe — a group is one content
+        # key's rows within one micro-batch, bounded by the batch's dup
+        # count for that key, not by the corpus. Order is lexicographic
+        # on the string-cast ids (deterministic, not numeric).
+        chunks = list(pdf_iter)
+        ids = (sorted(pd.concat(chunks)[id_col].astype(str))
+               if chunks else [])
         rows = []
-        for pdf in pdf_iter:
-            # deterministic within a batch: ascending id order
-            for rid in sorted(pdf[id_col].astype(str)):
-                if canonical is None:
-                    canonical = rid
-                n += 1
-                rows.append((k, rid, canonical, rid != canonical, n))
+        for rid in ids:
+            if canonical is None:
+                canonical = rid
+            n += 1
+            rows.append((k, rid, canonical, rid != canonical, n))
         state.update((canonical, n))
         yield pd.DataFrame(rows, columns=out_cols)
 
@@ -130,6 +138,114 @@ def streaming_canonical_assign(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_near_dup_pairs(
+    stream_df: DataFrame,
+    index_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    band_rows: int = 2,
+    max_block: int = 100,
+    salt_cap: int = 40,
+    index_bucket_cap: int = 50,
+    trigger_once: bool = True,
+):
+    """Streaming NEAR-dup detection — the streaming twin of the batch
+    ``dedupe.minhash_lsh_pairs`` path (VERDICT r3 next #8): a
+    foreachBatch loop where each micro-batch's documents are LSH-paired
+    (a) against each other with the fully salt-capped batch operator,
+    and (b) against every EARLIER batch via a persistent
+    (block_key, id) band index — so a near-duplicate arriving hours
+    after its original is still paired with it.
+
+    Per batch:
+    1. within-batch pairs: ``minhash_lsh_pairs(batch)`` — the batch
+       operator, salt caps included.
+    2. cross-batch pairs: the batch's band keys equi-join the
+       accumulated index. The index side is capped at
+       ``index_bucket_cap`` ids per block key (deterministic: the
+       lexicographically-first ids) — the anti-explosion bound for
+       shared-vocabulary mega buckets, same philosophy as the salt cap
+       (bounded recall, bounded cost). On a cluster, materialize the
+       index bucketed/bucketBy(block_key) so this join co-locates
+       without a shuffle of the full history, and maintain the capped
+       projection incrementally instead of re-ranking per batch.
+    3. append new pairs to ``pairs_dir``, new band keys to the index.
+
+    exactly-once: checkpointLocation dedupes batch replays by batch_id
+    (parquet appends are idempotent per completed batch only if the
+    writer is not killed mid-append — at-rest dedupe by (id_a, id_b) on
+    read, or an Iceberg sink for true idempotency; see
+    plans.checkpoint.IcebergBackend).
+
+    Pairs schema: (id_a, id_b, batch_id) with id_a < id_b. Returns the
+    StreamingQuery."""
+    from pyspark.sql.window import Window
+
+    from go_dedupe_spark.functions.hashing import minhash_band_keys
+    from go_dedupe_spark.functions.similarity import word_tokens
+    from go_dedupe_spark.operators.dedupe import minhash_lsh_pairs
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.select(
+            F.col(id_col).cast("string").alias("id"),
+            F.col(text_col).alias("text"),
+        ).dropDuplicates(["id"]).localCheckpoint(eager=True)
+
+        within = minhash_lsh_pairs(
+            batch, "id", "text", num_hashes=num_hashes,
+            band_rows=band_rows, max_block=max_block, salt_cap=salt_cap)
+
+        keyed = batch.select(
+            "id",
+            F.explode(minhash_band_keys(
+                word_tokens(F.col("text")), num_hashes=num_hashes,
+                band_rows=band_rows, prefix="lsh")).alias("block_key"),
+        ).dropDuplicates(["id", "block_key"])
+
+        try:
+            idx = spark.read.parquet(index_dir)
+            have_index = True
+        except Exception:
+            have_index = False
+        if have_index:
+            w = Window.partitionBy("block_key").orderBy("id")
+            capped = (
+                idx.withColumn("_r", F.row_number().over(w))
+                .where(F.col("_r") <= index_bucket_cap)
+                .select(F.col("id").alias("id_old"), "block_key")
+            )
+            cross = (
+                keyed.join(capped, "block_key")
+                .where(F.col("id") != F.col("id_old"))
+                .select(
+                    F.least("id", "id_old").alias("id_a"),
+                    F.greatest("id", "id_old").alias("id_b"),
+                )
+                .distinct()
+            )
+            pairs = within.unionByName(cross).distinct()
+        else:
+            pairs = within
+
+        pairs.withColumn("batch_id", F.lit(batch_id).cast("long")) \
+            .write.mode("append").parquet(pairs_dir)
+        keyed.write.mode("append").parquet(index_dir)
+
+    writer = (
+        stream_df.writeStream
+        .foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def hourly_event_rollup_stream(

@@ -29,12 +29,15 @@ def test_edtf_sort_key_ordering(spark):
 
 
 def test_edtf_is_deprecated_predicate(spark):
+    """ANY present value deprecates — including unknown sentinels —
+    matching the reference's any-value regex filter (ADVICE r3: 'uuuu'
+    means deprecated-at-unknown-date, not not-deprecated)."""
     df = spark.createDataFrame(
         [("a", "2021-04-01"), ("b", None), ("c", "uuuu"), ("d", "2021~")],
         ["id", "dep"])
     got = {r["id"]: r["x"] for r in
            df.select("id", edtf_is_deprecated("dep").alias("x")).collect()}
-    assert got == {"a": True, "b": False, "c": False, "d": True}
+    assert got == {"a": True, "b": False, "c": True, "d": True}
 
 
 def test_metadata_union_reserved_key_wins(spark):
