@@ -11,8 +11,12 @@ Components in MapReduce and Beyond", SoCC'14) in pure DataFrame ops:
     small-star: for each node u, connect all neighbors <= u (and u)
                 to the minimum among them
 
-Each round is two groupBy/explode passes; convergence when the edge set
-reaches a fixpoint (every node points directly at its component min).
+Each round is two array-free star steps (a min-per-node aggregate
+joined back onto the adjacency rows — neighborhoods are never
+materialized as arrays, so a mega-cluster root streams through its
+partition instead of building an m-element collect_set in one task);
+convergence when the edge set reaches a fixpoint (every node points
+directly at its component min).
 Lineage is cut every iteration with localCheckpoint — at cluster scale
 swap for a checkpoint table write (see plans.checkpoint) so a failed
 iteration resumes instead of recomputing the loop.
