@@ -26,6 +26,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "ann_topk_lsh",
     "ann_topk_ivf",
+    "ivf_kmeans_centroids",
     "dedup_embedding_cosine",
     "ann_topk_bruteforce",
     "agg_pricing_summary",
