@@ -23,6 +23,7 @@ def resolve_clusters(
     components: DataFrame,
     records: DataFrame,
     order_cols: tuple[str, ...] = ("commit", "id"),
+    supersedes_arrays: bool = True,
 ) -> DataFrame:
     """-> resolution(id, cluster_id, survivor_id, is_survivor,
     superseded_by array<string>, supersedes array<string>).
@@ -33,15 +34,39 @@ def resolve_clusters(
     is ``order_cols=("is_mapzen", "lastmod", "id")`` — (b) mapzen
     geometry wins, (c) newer lastmod wins, (d) tie -> higher id; rule
     (a) deprecated-side-loses composes as a pre-filter or a leading
-    ``not_deprecated`` column (functions.edtf.edtf_is_deprecated)."""
+    ``not_deprecated`` column (functions.edtf.edtf_is_deprecated).
+
+    ``supersedes_arrays``: the survivor row's ``supersedes`` list
+    (reference parity: the wof:supersedes array, process.go:341-377) is
+    an inherently cluster-sized ARRAY — a boilerplate mega-cluster of m
+    members materializes an m-element array in one aggregation task and
+    one output row, the same hub hazard fixed array-free in
+    connected_components. Every supersession edge is ALREADY encoded
+    pairwise on the loser rows (loser.superseded_by = [survivor]), so
+    the array is derived convenience data: pass ``False`` at corpus
+    scale to keep survivors' ``supersedes`` empty and the whole plan
+    array-free (the max_by survivor aggregate is O(1) per group
+    either way)."""
     member = components.join(
         records.select("id", *[c for c in order_cols if c != "id"]),
         "id", "inner",
     )
-    survivors = member.groupBy("cluster_id").agg(
+    aggs = [
         F.max_by("id", F.struct(*[F.col(c) for c in order_cols]))
          .alias("survivor_id"),
-        F.collect_set("id").alias("member_ids"),
+    ]
+    if supersedes_arrays:
+        aggs.append(F.collect_set("id").alias("member_ids"))
+    survivors = member.groupBy("cluster_id").agg(*aggs)
+    is_surv = F.col("id") == F.col("survivor_id")
+    empty = F.array().cast("array<string>")
+    supersedes = (
+        F.when(
+            is_surv,
+            F.array_sort(F.array_remove(F.col("member_ids"),
+                                        F.col("survivor_id"))),
+        ).otherwise(empty)
+        if supersedes_arrays else empty
     )
     out = (
         member.join(survivors, "cluster_id")
@@ -49,17 +74,11 @@ def resolve_clusters(
             "id",
             "cluster_id",
             "survivor_id",
-            (F.col("id") == F.col("survivor_id")).alias("is_survivor"),
+            is_surv.alias("is_survivor"),
             # loser -> [survivor]; survivor -> [] (process.go:341-377 C3)
-            F.when(
-                F.col("id") == F.col("survivor_id"), F.array().cast("array<string>")
-            ).otherwise(F.array(F.col("survivor_id"))).alias("superseded_by"),
-            F.when(
-                F.col("id") == F.col("survivor_id"),
-                F.array_sort(
-                    F.array_remove(F.col("member_ids"), F.col("survivor_id"))
-                ),
-            ).otherwise(F.array().cast("array<string>")).alias("supersedes"),
+            F.when(is_surv, empty)
+             .otherwise(F.array(F.col("survivor_id"))).alias("superseded_by"),
+            supersedes.alias("supersedes"),
         )
     )
     return out

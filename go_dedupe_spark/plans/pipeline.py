@@ -43,6 +43,10 @@ class PipelineConfig:
     # driver union-find fast path bound — single source of truth (with
     # the measured rationale) lives in operators.components
     cc_driver_max_edges: int = CC_DRIVER_MAX_EDGES
+    # survivors' cluster-sized supersedes arrays (reference parity) —
+    # set False at corpus scale; edges stay on the loser rows
+    # (operators.resolve.resolve_clusters docstring)
+    supersedes_arrays: bool = True
     # materialize independent DAG branches (features || blocks->pairs)
     # from concurrent driver threads. OFF by default: a pinned-core A/B
     # (bench_scaling SCALING_CONCURRENT, 100k rows) measured sequential
@@ -170,7 +174,8 @@ def run_pipeline(
     components = stage("components", compute_components, sort_by=["id"])
     resolution = stage(
         "resolution",
-        lambda: resolve_clusters(components, records),
+        lambda: resolve_clusters(components, records,
+                                 supersedes_arrays=cfg.supersedes_arrays),
         sort_by=["cluster_id", "id"],
     )
     return PipelineResult(records, blocks, pairs, scores, components, resolution)

@@ -222,6 +222,37 @@ def test_distributed_cc_matches_driver_path(spark):
     assert ("s019", "s000") in dist
 
 
+def test_resolve_clusters_array_free_mode(spark):
+    """Corpus-scale resolution: supersedes_arrays=False must plan with
+    NO collect_set (the survivor's supersedes list is the one remaining
+    cluster-sized array in the engine — same hub hazard as CC), keep
+    survivor choice and loser edges identical, and every supersession
+    edge must remain recoverable from the loser rows alone."""
+    from go_dedupe_spark.operators.resolve import resolve_clusters
+
+    comps = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "a"), ("d", "d")],
+        ["id", "cluster_id"])
+    recs = spark.createDataFrame(
+        [("a", "c1"), ("b", "c9"), ("c", "c5"), ("d", "c2")],
+        ["id", "commit"])
+    full = resolve_clusters(comps, recs)
+    lean = resolve_clusters(comps, recs, supersedes_arrays=False)
+    plan = lean._jdf.queryExecution().toString()
+    assert "collect_set" not in plan, plan
+    f = {r["id"]: r for r in full.collect()}
+    le = {r["id"]: r for r in lean.collect()}
+    assert f["b"]["is_survivor"] and sorted(f["b"]["supersedes"]) == ["a", "c"]
+    for i in f:
+        assert f[i]["survivor_id"] == le[i]["survivor_id"]
+        assert f[i]["superseded_by"] == le[i]["superseded_by"]
+        assert le[i]["supersedes"] == []
+    loser_edges = {(i, r["superseded_by"][0])
+                   for i, r in le.items() if r["superseded_by"]}
+    full_edges = {(loser, i) for i, r in f.items() for loser in r["supersedes"]}
+    assert loser_edges == full_edges
+
+
 def test_distributed_cc_mega_component_no_arrays(spark):
     """Mega-cluster hub hazard regression: a planted 100k-member star
     (+ a chain grafted on, forcing several iterations) must run the
