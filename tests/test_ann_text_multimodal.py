@@ -511,6 +511,68 @@ def test_streaming_canonical_assign_state_across_batches(spark, tmp_path):
         assert sum(not r["is_duplicate"] for r in grp) == 1
 
 
+def test_streaming_canonical_assign_on_rocksdb_state_store(spark, tmp_path):
+    """The custom stateful operator on the PRODUCTION state store: at
+    100 TB/day the state backend is RocksDB (bounded executor heap,
+    incremental checkpointing), not the default HDFS-backed in-memory
+    map — prove applyInPandasWithState round-trips its state through
+    the RocksDB provider with identical semantics. The provider conf is
+    read at query START from the session (a writeStream .option() is
+    silently ignored — probed), so set/restore it around the run; the
+    .sst/.zip state artifacts are asserted as proof RocksDB actually
+    engaged."""
+    from go_dedupe_spark.streaming.ingest import streaming_canonical_assign
+
+    src = tmp_path / "rdb_src"
+    b1 = spark.createDataFrame(
+        [(f"id{i:03d}", f"sha{i % 3}") for i in range(6)],
+        ["id", "content_sha256"])
+    b2 = spark.createDataFrame(
+        [(f"id{i:03d}", f"sha{i % 3}") for i in range(6, 12)],
+        ["id", "content_sha256"])
+    b1.repartition(1).write.parquet(str(src / "f1"))
+    b2.repartition(1).write.parquet(str(src / "f2"))
+    stream = (spark.readStream.schema(b1.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src / "*")))
+    out_dir = str(tmp_path / "rdb_out")
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(conf_key, None)
+    try:
+        spark.conf.set(conf_key,
+                       "org.apache.spark.sql.execution.streaming.state."
+                       "RocksDBStateStoreProvider")
+        q = (
+            streaming_canonical_assign(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "rdb_ck"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        if old is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, old)
+    state_files = list((tmp_path / "rdb_ck" / "state").rglob("*"))
+    exts = {p.suffix for p in state_files}
+    assert ".zip" in exts or ".sst" in exts, exts   # RocksDB engaged
+    assert ".delta" not in exts                      # not the HDFS store
+    rows = spark.read.parquet(out_dir).collect()
+    assert len(rows) == 12
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["key"], []).append(r)
+    for grp in by_key.values():
+        canon = {r["canonical_id"] for r in grp}
+        assert len(canon) == 1                      # state survived batches
+        assert canon.pop() < "id006"                # batch-1 canonical
+        assert sorted(r["n_seen"] for r in grp) == list(range(1, len(grp) + 1))
+
+
 def test_streaming_near_dup_cross_batch(spark, tmp_path):
     """VERDICT r3 next #8 — streaming near-dup: a near-duplicate
     arriving in a LATER micro-batch (maxFilesPerTrigger=1) must be
