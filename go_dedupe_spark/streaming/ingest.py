@@ -166,15 +166,19 @@ def streaming_near_dup_pairs(
     1. within-batch pairs: ``minhash_lsh_pairs(batch)`` — the batch
        operator, salt caps included.
     2. cross-batch pairs: the batch's band keys equi-join the
-       accumulated index. The index side is capped at
-       ``index_bucket_cap`` ids per block key (deterministic: the
-       lexicographically-first ids) — the anti-explosion bound for
-       shared-vocabulary mega buckets, same philosophy as the salt cap
-       (bounded recall, bounded cost). On a cluster, materialize the
-       index bucketed/bucketBy(block_key) so this join co-locates
-       without a shuffle of the full history, and maintain the capped
-       projection incrementally instead of re-ranking per batch.
-    3. append new pairs to ``pairs_dir``, new band keys to the index.
+       accumulated index, which is CAPPED AT WRITE TIME to
+       ``index_bucket_cap`` ids per block key (first-arrived kept,
+       ascending id within a batch — deterministic) — the
+       anti-explosion bound for shared-vocabulary mega buckets, same
+       philosophy as the salt cap (bounded recall, bounded cost).
+       Per-batch incremental cost: one count-aggregate over the index
+       (map-side combine, ~one long per block key) plus a window over
+       the BATCH only — never a re-rank of the full history. On a
+       cluster, bucketBy(block_key) the index table so the join
+       co-locates, and keep the per-key counts as a running table
+       instead of re-aggregating.
+    3. append new pairs to ``pairs_dir``, admitted band keys to the
+       index.
 
     exactly-once: checkpointLocation dedupes batch replays by batch_id
     (parquet appends are idempotent per completed batch only if the
@@ -209,19 +213,18 @@ def streaming_near_dup_pairs(
         ).dropDuplicates(["id", "block_key"])
 
         try:
+            # the parquet file listing is snapshotted when the read is
+            # planned, so this frame is stable even though the batch
+            # appends new index files below (no read-your-own-append)
             idx = spark.read.parquet(index_dir)
             have_index = True
         except Exception:
             have_index = False
         if have_index:
-            w = Window.partitionBy("block_key").orderBy("id")
-            capped = (
-                idx.withColumn("_r", F.row_number().over(w))
-                .where(F.col("_r") <= index_bucket_cap)
-                .select(F.col("id").alias("id_old"), "block_key")
-            )
+            # the index is capped at write time — join it directly
             cross = (
-                keyed.join(capped, "block_key")
+                keyed.join(idx.select(F.col("id").alias("id_old"),
+                                      "block_key"), "block_key")
                 .where(F.col("id") != F.col("id_old"))
                 .select(
                     F.least("id", "id_old").alias("id_a"),
@@ -235,7 +238,20 @@ def streaming_near_dup_pairs(
 
         pairs.withColumn("batch_id", F.lit(batch_id).cast("long")) \
             .write.mode("append").parquet(pairs_dir)
-        keyed.write.mode("append").parquet(index_dir)
+
+        # admit new index rows only up to the per-key cap: existing
+        # occupancy from a count-aggregate (map-side combine), rank
+        # within THIS batch from a batch-local window
+        w_new = Window.partitionBy("block_key").orderBy("id")
+        admitted = keyed.withColumn("_r", F.row_number().over(w_new))
+        if have_index:
+            occupancy = idx.groupBy("block_key").agg(
+                F.count("*").alias("_n_old"))
+            admitted = admitted.join(occupancy, "block_key", "left") \
+                .withColumn("_r", F.col("_r") + F.coalesce("_n_old", F.lit(0)))
+        admitted.where(F.col("_r") <= index_bucket_cap) \
+            .select("id", "block_key") \
+            .write.mode("append").parquet(index_dir)
 
     writer = (
         stream_df.writeStream

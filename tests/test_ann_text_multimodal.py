@@ -617,3 +617,41 @@ def test_streaming_near_dup_cross_batch(spark, tmp_path):
     idx = spark.read.parquet(str(tmp_path / "nd_index"))
     assert {r["id"] for r in idx.select("id").distinct().collect()} == \
         {"d1", "d2", "d3", "d8", "d9"}
+
+
+def test_streaming_near_dup_index_capped_at_write(spark, tmp_path):
+    """The band index is capped AT WRITE TIME: a shared-vocabulary mega
+    bucket admits at most index_bucket_cap ids per block key across
+    batches (first-arrived kept), so neither the on-disk index nor the
+    cross-batch join fanout can grow quadratic in a boilerplate
+    bucket."""
+    from pyspark.sql import functions as F
+
+    from go_dedupe_spark.streaming.ingest import streaming_near_dup_pairs
+
+    text = "identical shared boilerplate text in every single document"
+    b1 = spark.createDataFrame(
+        [(f"a{i:02d}", text) for i in range(8)], ["doc_id", "text"])
+    b2 = spark.createDataFrame(
+        [(f"b{i:02d}", text) for i in range(8)], ["doc_id", "text"])
+    src = tmp_path / "cap_src"
+    b1.repartition(1).write.parquet(str(src / "f1"))
+    b2.repartition(1).write.parquet(str(src / "f2"))
+    stream = (spark.readStream.schema(b1.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src / "*")))
+    q = streaming_near_dup_pairs(
+        stream,
+        index_dir=str(tmp_path / "cap_index"),
+        pairs_dir=str(tmp_path / "cap_pairs"),
+        checkpoint_dir=str(tmp_path / "cap_ck"),
+        num_hashes=4, band_rows=2, index_bucket_cap=5)
+    q.awaitTermination(180)
+    per_key = (spark.read.parquet(str(tmp_path / "cap_index"))
+               .groupBy("block_key").agg(F.count("*").alias("n"))
+               .agg(F.max("n")).collect()[0][0])
+    assert per_key <= 5
+    # batch-1 ids won the slots (first-arrived kept)
+    ids = {r["id"] for r in
+           spark.read.parquet(str(tmp_path / "cap_index")).collect()}
+    assert all(i.startswith("a") for i in ids)
