@@ -147,6 +147,7 @@ def streaming_near_dup_pairs(
     checkpoint_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    scope_col: str | None = None,
     num_hashes: int = 8,
     band_rows: int = 2,
     max_block: int = 100,
@@ -186,6 +187,10 @@ def streaming_near_dup_pairs(
     read, or an Iceberg sink for true idempotency; see
     plans.checkpoint.IcebergBackend).
 
+    ``scope_col`` (e.g. lang) prefixes every band key — batch-operator
+    parity: buckets never cross scopes, within a batch or across
+    batches.
+
     Pairs schema: (id_a, id_b, batch_id) with id_a < id_b. Returns the
     StreamingQuery."""
     from pyspark.sql.window import Window
@@ -199,18 +204,28 @@ def streaming_near_dup_pairs(
         batch = batch_df.select(
             F.col(id_col).cast("string").alias("id"),
             F.col(text_col).alias("text"),
+            *([F.col(scope_col).cast("string").alias("_scope")]
+              if scope_col else []),
         ).dropDuplicates(["id"]).localCheckpoint(eager=True)
 
         within = minhash_lsh_pairs(
             batch, "id", "text", num_hashes=num_hashes,
-            band_rows=band_rows, max_block=max_block, salt_cap=salt_cap)
+            band_rows=band_rows, max_block=max_block, salt_cap=salt_cap,
+            scope_col="_scope" if scope_col else None)
 
+        keys = minhash_band_keys(
+            word_tokens(F.col("text")), num_hashes=num_hashes,
+            band_rows=band_rows, prefix="lsh")
         keyed = batch.select(
-            "id",
-            F.explode(minhash_band_keys(
-                word_tokens(F.col("text")), num_hashes=num_hashes,
-                band_rows=band_rows, prefix="lsh")).alias("block_key"),
-        ).dropDuplicates(["id", "block_key"])
+            "id", F.explode(keys).alias("k0"),
+            *(["_scope"] if scope_col else []),
+        )
+        block_key = (
+            F.concat(F.col("_scope"), F.lit(":"), F.col("k0"))
+            if scope_col else F.col("k0")
+        )
+        keyed = keyed.select("id", block_key.alias("block_key")) \
+            .dropDuplicates(["id", "block_key"])
 
         try:
             # the parquet file listing is snapshotted when the read is

@@ -619,6 +619,40 @@ def test_streaming_near_dup_cross_batch(spark, tmp_path):
         {"d1", "d2", "d3", "d8", "d9"}
 
 
+def test_streaming_near_dup_scope_col(spark, tmp_path):
+    """Batch-operator parity: scope_col (e.g. lang) prefixes band keys,
+    so identical text in DIFFERENT scopes never pairs — within a batch
+    or across batches via the index."""
+    from go_dedupe_spark.streaming.ingest import streaming_near_dup_pairs
+
+    text = ("the quick brown fox jumps over the lazy dog and runs far "
+            "into the deep dark woods tonight")
+    b1 = spark.createDataFrame(
+        [("p1", text, "py"), ("j1", text, "js")], ["doc_id", "text", "lang"])
+    b2 = spark.createDataFrame(
+        [("p2", text + " extra", "py"), ("j2", text, "js")],
+        ["doc_id", "text", "lang"])
+    src = tmp_path / "sc_src"
+    b1.repartition(1).write.parquet(str(src / "f1"))
+    b2.repartition(1).write.parquet(str(src / "f2"))
+    stream = (spark.readStream.schema(b1.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src / "*")))
+    q = streaming_near_dup_pairs(
+        stream,
+        index_dir=str(tmp_path / "sc_index"),
+        pairs_dir=str(tmp_path / "sc_pairs"),
+        checkpoint_dir=str(tmp_path / "sc_ck"),
+        scope_col="lang", num_hashes=6, band_rows=2)
+    q.awaitTermination(180)
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             spark.read.parquet(str(tmp_path / "sc_pairs")).collect()}
+    assert ("j1", "j2") in pairs            # same scope, cross-batch
+    assert ("p1", "p2") in pairs            # same scope, cross-batch
+    # identical text, different scopes: never paired
+    assert all({a[0], b[0]} != {"p", "j"} for a, b in pairs)
+
+
 def test_streaming_near_dup_index_capped_at_write(spark, tmp_path):
     """The band index is capped AT WRITE TIME: a shared-vocabulary mega
     bucket admits at most index_bucket_cap ids per block key across
