@@ -222,6 +222,24 @@ def test_distributed_cc_matches_driver_path(spark):
     assert ("s019", "s000") in dist
 
 
+def test_distributed_cc_on_real_pipeline_graph(spark, result):
+    """The distributed star loop on the REAL fixture match graph (not a
+    synthetic star/chain): forcing driver_max_edges=0 must reproduce
+    the driver union-find's clustering exactly — the differential that
+    matters for the 100x corpus, where the match graph takes the
+    distributed path."""
+    from go_dedupe_spark.operators.components import connected_components
+
+    matches = result.scores.where("is_match").select("id_a", "id_b")
+    dist = {(r["id"], r["cluster_id"])
+            for r in connected_components(matches,
+                                          driver_max_edges=0).collect()}
+    drv = {(r["id"], r["cluster_id"])
+           for r in connected_components(matches,
+                                         driver_max_edges=10**9).collect()}
+    assert dist == drv and len(dist) > 0
+
+
 def test_resolve_clusters_array_free_mode(spark):
     """Corpus-scale resolution: supersedes_arrays=False must plan with
     NO collect_set (the survivor's supersedes list is the one remaining
