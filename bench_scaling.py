@@ -46,9 +46,13 @@ LEVELS = (1, 4)
 # N trials per level (fresh JVM each trial): hypervisor steal comes in
 # bursts lasting minutes; a single trial measures the hypervisor's
 # mood, not the engine. The headline ratio uses the MEDIAN rows/sec per
-# level; all trials are reported so the spread is visible. The SAME
-# protocol is used by tools/host_calibration.py, so the raw and
-# host-normalized numbers are like-for-like.
+# level; all trials are reported so the spread is visible. The
+# host-normalization divides by the IN-RUN bracketing probes of the
+# median trial (like-for-like: same windows, same pinning, same
+# median-trial selection). tools/host_calibration.py is a separate
+# BEST-OF-N ceiling probe — it answers "what can this VM ever do", not
+# "what did the host do during this run", and is deliberately NOT used
+# for normalization.
 TRIALS = int(os.environ.get("SCALING_TRIALS", "3"))
 
 

@@ -158,8 +158,15 @@ def train_ivf_centroids(
     ``centroids`` (with centroid_id_col="cid"). Centroids that lose
     every member during an iteration drop out — callers get <= k lists,
     the standard Lloyd's behavior."""
+    # materialize the (id, vec) projection ONCE: every Lloyd iteration
+    # ends in an eager action, and without this each one would re-run
+    # the full upstream lineage of ``items`` (iters+1 redundant
+    # executions of e.g. a feature pipeline). Train on a sample when
+    # the corpus projection exceeds executor storage — the standard
+    # k-means practice; centroids generalize.
     it = items.select(F.col(id_col).alias("item_id"),
-                      F.col(vec_col).cast("array<double>").alias("ivec"))
+                      F.col(vec_col).cast("array<double>").alias("ivec")) \
+        .localCheckpoint(eager=True)
     init = (
         it.withColumn("_r", F.md5(F.col("item_id").cast("string")))
         .orderBy("_r")

@@ -26,6 +26,7 @@ rows_out, wall_ms, input_snapshot.
 
 from __future__ import annotations
 
+import base64
 import hashlib
 import json
 import threading
@@ -184,12 +185,17 @@ class IcebergBackend:
         if raw is None:
             return None
         try:
-            return json.loads(raw)
-        except json.JSONDecodeError:
+            return json.loads(base64.b64decode(raw))
+        except (ValueError, json.JSONDecodeError):
             return None
 
     def put_manifest(self, key: str, meta: dict) -> None:
-        payload = json.dumps(meta).replace("'", "''")
+        # base64 the JSON: embedding it as a SQL string literal would
+        # let Spark's escape processing mangle backslashes / quotes in
+        # snapshot tags, silently corrupting the manifest and breaking
+        # resume (has() would always read False). Base64 is literal-safe
+        # by construction.
+        payload = base64.b64encode(json.dumps(meta).encode()).decode()
         self.spark.sql(
             f"ALTER TABLE {self._ident(key)} SET TBLPROPERTIES "
             f"('{self.MANIFEST_PROP}' = '{payload}')")
@@ -200,10 +206,19 @@ class IcebergBackend:
     def append_metric(self, rec: dict) -> None:
         row = self.spark.createDataFrame(
             [(json.dumps(rec),)], "value string")
+        ident = self._metrics_ident()
+        # existence-keyed, not except-keyed: a blanket try-append/
+        # except-create would bury real append failures (commit
+        # conflicts, schema drift) under a confusing 'already exists'.
+        # Concurrent stage threads can still race the first create —
+        # that loser retries as an append instead of failing.
+        if self.spark.catalog.tableExists(ident):
+            row.writeTo(ident).append()
+            return
         try:
-            row.writeTo(self._metrics_ident()).append()
-        except Exception:                 # first write creates the table
-            row.writeTo(self._metrics_ident()).create()
+            row.writeTo(ident).create()
+        except Exception:
+            row.writeTo(ident).append()   # lost the create race
 
     def metrics(self) -> list[dict]:
         try:

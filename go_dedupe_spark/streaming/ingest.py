@@ -227,13 +227,22 @@ def streaming_near_dup_pairs(
         keyed = keyed.select("id", block_key.alias("block_key")) \
             .dropDuplicates(["id", "block_key"])
 
+        # The parquet file listing is snapshotted when the read is
+        # planned, so this frame is stable even though the batch
+        # appends new index files below (no read-your-own-append).
+        # ONLY a missing path means "no index yet" — any other read
+        # failure (corrupt file, FS hiccup) must propagate and fail the
+        # batch so the checkpoint retries it; swallowing it would
+        # silently skip cross-batch pairing with no way to regenerate
+        # the lost pairs (the band keys still get appended below).
+        from pyspark.errors import AnalysisException
+
         try:
-            # the parquet file listing is snapshotted when the read is
-            # planned, so this frame is stable even though the batch
-            # appends new index files below (no read-your-own-append)
             idx = spark.read.parquet(index_dir)
             have_index = True
-        except Exception:
+        except AnalysisException as exc:
+            if "PATH_NOT_FOUND" not in str(exc):
+                raise
             have_index = False
         if have_index:
             # the index is capped at write time — join it directly
@@ -256,9 +265,18 @@ def streaming_near_dup_pairs(
 
         # admit new index rows only up to the per-key cap: existing
         # occupancy from a count-aggregate (map-side combine), rank
-        # within THIS batch from a batch-local window
+        # within THIS batch from a batch-local window. A REPLAYED id
+        # (same doc re-sent in a later batch — dropDuplicates is
+        # batch-local) is anti-joined out first: without this it would
+        # be re-admitted, double-count occupancy, and eat cap slots
+        # that genuinely new docs need. (Its already-known pairs may
+        # re-emit with the new batch_id — the pair SET is idempotent
+        # under distinct-on-read.)
         w_new = Window.partitionBy("block_key").orderBy("id")
-        admitted = keyed.withColumn("_r", F.row_number().over(w_new))
+        fresh = keyed
+        if have_index:
+            fresh = keyed.join(idx, ["id", "block_key"], "left_anti")
+        admitted = fresh.withColumn("_r", F.row_number().over(w_new))
         if have_index:
             occupancy = idx.groupBy("block_key").agg(
                 F.count("*").alias("_n_old"))

@@ -653,6 +653,44 @@ def test_streaming_near_dup_scope_col(spark, tmp_path):
     assert all({a[0], b[0]} != {"p", "j"} for a, b in pairs)
 
 
+def test_streaming_near_dup_replayed_id_not_readmitted(spark, tmp_path):
+    """A doc re-sent in a later batch (feed replay — dropDuplicates is
+    batch-local) must NOT be re-admitted to the band index: no
+    duplicate (id, block_key) rows, no double-counted occupancy eating
+    cap slots from genuinely new docs."""
+    from pyspark.sql import functions as F
+
+    from go_dedupe_spark.streaming.ingest import streaming_near_dup_pairs
+
+    text = ("the quick brown fox jumps over the lazy dog and runs far "
+            "into the deep dark woods tonight")
+    b1 = spark.createDataFrame([("d1", text)], ["doc_id", "text"])
+    b2 = spark.createDataFrame(
+        [("d1", text), ("d2", text + " extra")], ["doc_id", "text"])
+    src = tmp_path / "rp_src"
+    b1.repartition(1).write.parquet(str(src / "f1"))
+    b2.repartition(1).write.parquet(str(src / "f2"))
+    stream = (spark.readStream.schema(b1.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src / "*")))
+    q = streaming_near_dup_pairs(
+        stream,
+        index_dir=str(tmp_path / "rp_index"),
+        pairs_dir=str(tmp_path / "rp_pairs"),
+        checkpoint_dir=str(tmp_path / "rp_ck"),
+        num_hashes=6, band_rows=2)
+    q.awaitTermination(180)
+    idx = spark.read.parquet(str(tmp_path / "rp_index"))
+    dup_rows = (idx.groupBy("id", "block_key").count()
+                .where(F.col("count") > 1).count())
+    assert dup_rows == 0
+    assert {r["id"] for r in idx.select("id").distinct().collect()} == \
+        {"d1", "d2"}
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             spark.read.parquet(str(tmp_path / "rp_pairs")).collect()}
+    assert ("d1", "d2") in pairs
+
+
 def test_streaming_near_dup_index_capped_at_write(spark, tmp_path):
     """The band index is capped AT WRITE TIME: a shared-vocabulary mega
     bucket admits at most index_bucket_cap ids per block key across
