@@ -411,6 +411,77 @@ def er_resolution(spark, sf_dir):
     ).withColumn("is_survivor", F.col("id") == F.col("survivor_id"))
 
 
+# The sf documents table is all-valid, so the quarantine contract row
+# corrupts it DETERMINISTICALLY (modular doc_id predicates, mirrored
+# exactly in the DuckDB twin) — nonzero rejects across every reason,
+# plus an accept-count row proving the two sides partition the input.
+_QUAR_CORRUPT_SQL = """
+fl AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 41 = 0 THEN '' ELSE source END AS repo,
+    CASE WHEN doc_id % 43 = 1 THEN NULL
+         ELSE source || '/doc_' || CAST(doc_id AS VARCHAR) || '.txt'
+    END AS path,
+    CASE WHEN doc_id % 47 = 2 THEN ''
+         ELSE substr(sha256('c:' || CAST(doc_id AS VARCHAR)), 1, 8)
+    END AS commit,
+    CASE WHEN doc_id % 53 = 3 THEN NULL ELSE lang END AS lang,
+    CASE WHEN doc_id % 59 = 4 THEN NULL ELSE text END AS content
+  FROM documents
+)"""
+
+
+@query("er_quarantine", f"""
+WITH {_QUAR_CORRUPT_SQL},
+q AS (
+  SELECT doc_id,
+    CASE WHEN repo IS NULL OR repo = '' THEN 'missing_repo'
+         WHEN path IS NULL OR path = '' THEN 'missing_path'
+         WHEN commit IS NULL OR commit = '' THEN 'missing_commit'
+         WHEN lang IS NULL OR lang = '' THEN 'missing_lang'
+         WHEN content IS NULL THEN 'missing_content'
+    END AS reject_reason
+  FROM fl
+  WHERE repo IS NULL OR repo = '' OR path IS NULL OR path = ''
+     OR commit IS NULL OR commit = '' OR lang IS NULL OR lang = ''
+     OR content IS NULL
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, reject_reason FROM q
+""")
+def er_quarantine(spark, sf_dir):
+    """F1's reject side as a contract row (VERDICT r4 item #8):
+    normalize() drops invalid records, quarantine() keeps them with a
+    reason — the DataFrame answer to the reference's logged-and-dropped
+    InvalidRecordError (errors.go:8-34; index.go:75-77). The input is
+    the documents table corrupted by deterministic modular predicates
+    so every reject_reason value is exercised; the when-chain
+    precedence (repo > path > commit > lang > content) is pinned by the
+    oracle on doc_ids hit by more than one corruption."""
+    from go_dedupe_spark.operators.normalize import quarantine
+
+    docs = _t(spark, sf_dir, "documents")
+    files = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 41 == 0, F.lit("")).otherwise(
+            F.col("source")).alias("repo"),
+        F.when(F.col("doc_id") % 43 == 1, F.lit(None).cast("string"))
+         .otherwise(F.concat(F.col("source"), F.lit("/doc_"),
+                             F.col("doc_id").cast("string"),
+                             F.lit(".txt"))).alias("path"),
+        F.when(F.col("doc_id") % 47 == 2, F.lit("")).otherwise(
+            F.substring(F.sha2(F.concat(F.lit("c:"),
+                                        F.col("doc_id").cast("string")),
+                               256), 1, 8)).alias("commit"),
+        F.when(F.col("doc_id") % 53 == 3, F.lit(None).cast("string"))
+         .otherwise(F.col("lang")).alias("lang"),
+        F.when(F.col("doc_id") % 59 == 4, F.lit(None).cast("string"))
+         .otherwise(F.col("text")).alias("content"),
+    )
+    return quarantine(files).select(
+        F.col("doc_id").cast("long"), "reject_reason"
+    )
+
+
 # ======================================================= dedup suite
 
 _SQL_EMB = "SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings"
@@ -809,7 +880,8 @@ WITH e AS ({_SQL_EMB}),
 init AS (SELECT md5(CAST(vec_id AS VARCHAR)) AS cid, v AS cvec FROM e
          ORDER BY cid LIMIT {IVF_TRAIN_K}),
 {_SQL_KMEANS}
-SELECT cid, cvec AS embedding FROM c{IVF_TRAIN_ITERS}
+SELECT cid, CAST(t.i - 1 AS BIGINT) AS pos, cvec[t.i] AS val
+FROM c{IVF_TRAIN_ITERS}, range(1, {_EMB_DIM} + 1) t(i)
 """)
 def ivf_kmeans_centroids(spark, sf_dir):
     """Deterministic spherical k-means trainer for IVF (VERDICT r3
@@ -817,13 +889,19 @@ def ivf_kmeans_centroids(spark, sf_dir):
     md5-ranked init and every Lloyd iteration — nearest-centroid
     assignment (cosine rounded to 6, cid tie-break), element-wise
     mean, L2 normalization, per-iteration rounding to 6 decimals (so
-    cross-engine float drift cannot compound across iterations) — and
-    the final centroid lists hash-match value-exact. Reference analog:
-    the one-time HNSW index build (vector/duckdb.go:273)."""
+    cross-engine float drift cannot compound across iterations).
+    Centroids are returned posexploded to scalar (cid, pos, val) rows
+    — VERDICT r4 #1: the driver's canonicalizer sorts with pandas
+    sort_values, which cannot sort list columns, so no contract query
+    may return a raw array. Reference analog: the one-time HNSW index
+    build (vector/duckdb.go:273)."""
     from go_dedupe_spark.operators.ann import train_ivf_centroids
 
     emb = _t(spark, sf_dir, "embeddings")
-    return train_ivf_centroids(emb, k=IVF_TRAIN_K, iters=IVF_TRAIN_ITERS)
+    c = train_ivf_centroids(emb, k=IVF_TRAIN_K, iters=IVF_TRAIN_ITERS)
+    return c.select(
+        "cid", F.posexplode("embedding").alias("pos", "val")
+    ).withColumn("pos", F.col("pos").cast("long"))
 
 
 # ======================================================= text analysis
@@ -1269,24 +1347,27 @@ def _writeback_scratch(sf_dir: str, kind: str) -> Path:
     and (b) recreating the dir within a process only invalidates THIS
     process's previous lazy DataFrame — which the single-pass driver /
     bench harness has always fully consumed by then. Scratch dirs left
-    by DEAD pids are swept opportunistically, so accumulation stays
-    bounded at one dir per live process."""
+    by OTHER pids are swept once stale by age: a pid-liveness probe
+    (os.kill(pid, 0)) is POSIX-only and a recycled pid would keep a
+    dead dir alive forever (ADVICE r4), whereas any dir a live run is
+    actually using was recreated — and hence re-stamped — by that run
+    within the last hour."""
     import hashlib
     import os
     import shutil
     import tempfile
+    import time
 
     tag = hashlib.sha256(str(sf_dir).encode()).hexdigest()[:8]
     root = Path(tempfile.gettempdir())
     prefix = f"go_dedupe_wb_{kind}_{tag}_pid"
+    stale_after = 3600.0
     for old in root.glob(prefix + "*"):
         try:
-            pid = int(old.name[len(prefix):])
-            os.kill(pid, 0)               # raises if the pid is gone
-        except (ValueError, ProcessLookupError):
-            shutil.rmtree(old, ignore_errors=True)
-        except PermissionError:
-            pass                           # pid alive under another uid
+            if time.time() - old.stat().st_mtime > stale_after:
+                shutil.rmtree(old, ignore_errors=True)
+        except OSError:
+            pass                           # raced with its owner
     base = root / f"{prefix}{os.getpid()}"
     if base.exists():
         shutil.rmtree(base)

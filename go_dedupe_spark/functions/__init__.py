@@ -9,6 +9,7 @@ correctness oracle (md5/sha256 are bit-identical across engines).
 
 from go_dedupe_spark.functions.edtf import (  # noqa: F401
     edtf_is_deprecated,
+    edtf_is_deprecated_strict,
     edtf_sort_key,
 )
 from go_dedupe_spark.functions.hashing import (  # noqa: F401

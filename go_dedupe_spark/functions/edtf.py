@@ -51,6 +51,24 @@ def edtf_is_deprecated(col: Column | str) -> Column:
     at an unknown date", not "not deprecated". (The unknown sentinels
     map to NULL only for ORDERING, in ``edtf_sort_key``.) This is also
     exactly the filter read_geojson_dir applies (`IS NULL`) and the
-    WOF oracle reproduces."""
+    WOF oracle reproduces.
+
+    The reference carries TWO deprecation semantics (ADVICE r4): this
+    iterator-parity one (`=.*` regex — empty string counts), and the
+    duplicates-survivorship check (process.go uses ``d != ""`` — empty
+    string does NOT count). Use this predicate for ingest exclusion;
+    use :func:`edtf_is_deprecated_strict` for the resolve pre-filter /
+    deprecated-side-loses precedence column."""
     c = F.col(col) if isinstance(col, str) else col
     return c.isNotNull()
+
+
+def edtf_is_deprecated_strict(col: Column | str) -> Column:
+    """The survivorship-side deprecation check: present AND non-empty
+    — parity with the reference's duplicates precedence rule (a)
+    deprecated-side-loses, which tests ``d != ""`` (process.go), NOT
+    the iterator's any-present-value regex. Pass as the leading
+    ``not_deprecated`` column of ``resolve_clusters(order_cols=...)``
+    via ``~edtf_is_deprecated_strict(...)``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.isNotNull() & (F.trim(c) != "")

@@ -94,6 +94,13 @@ def _pil_decode_f64(payload: bytes) -> np.ndarray:
 
     img = Image.open(io.BytesIO(payload)).convert("L")
     side = int(FEATURE_DIM ** 0.5)
+    # the real path resizes to a side x side grid, so it only exists
+    # for square FEATURE_DIMs — fail loudly rather than silently
+    # returning a wrong-length vector while the fake path keeps
+    # emitting FEATURE_DIM values (ADVICE r4)
+    assert side * side == FEATURE_DIM, (
+        f"FEATURE_DIM={FEATURE_DIM} is not a perfect square; the PIL "
+        f"decode path cannot produce it")
     small = img.resize((side, side), resample=Image.NEAREST)
     return np.asarray(small, dtype=np.float64).reshape(-1) / 255.0
 

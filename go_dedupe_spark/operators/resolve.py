@@ -34,7 +34,10 @@ def resolve_clusters(
     is ``order_cols=("is_mapzen", "lastmod", "id")`` — (b) mapzen
     geometry wins, (c) newer lastmod wins, (d) tie -> higher id; rule
     (a) deprecated-side-loses composes as a pre-filter or a leading
-    ``not_deprecated`` column (functions.edtf.edtf_is_deprecated).
+    ``not_deprecated`` column — use
+    ``functions.edtf.edtf_is_deprecated_strict`` here (process.go
+    tests ``d != ""``; the iterator's any-present-value predicate
+    would wrongly demote records carrying ``edtf:deprecated=''``).
 
     ``supersedes_arrays``: the survivor row's ``supersedes`` list
     (reference parity: the wof:supersedes array, process.go:341-377) is

@@ -162,9 +162,13 @@ class IcebergBackend:
 
     def _ident(self, key: str) -> str:
         # checkpoint keys are "stage@hash" — '@' needs quoting in SQL
-        # identifiers, so normalize to an identifier-safe name
+        # identifiers, so normalize to an identifier-safe name. The
+        # sanitization is lossy ('a-b' and 'a_b' collide), so a short
+        # hash of the RAW key disambiguates: colliding stage names must
+        # not silently resume from each other's data.
         safe = "".join(c if c.isalnum() or c == "_" else "_" for c in key)
-        return f"{self.catalog}.{self.namespace}.{safe}"
+        tag = hashlib.sha256(key.encode()).hexdigest()[:8]
+        return f"{self.catalog}.{self.namespace}.{safe}_{tag}"
 
     def write_table(self, df: DataFrame, key: str) -> DataFrame:
         ident = self._ident(key)
@@ -175,11 +179,15 @@ class IcebergBackend:
         return spark.read.table(self._ident(key))
 
     def get_manifest(self, key: str) -> dict | None:
-        try:
-            rows = self.spark.sql(
-                f"SHOW TBLPROPERTIES {self._ident(key)}").collect()
-        except Exception:                 # table absent -> no checkpoint
+        # ONLY table-absent means "no checkpoint" — a transient
+        # catalog/FS failure must propagate, not silently trigger a
+        # full recompute + createOrReplace of the table (ADVICE r4).
+        # tableExists is the positive probe; SHOW TBLPROPERTIES errors
+        # after that are real errors.
+        if not self.spark.catalog.tableExists(self._ident(key)):
             return None
+        rows = self.spark.sql(
+            f"SHOW TBLPROPERTIES {self._ident(key)}").collect()
         props = {r["key"]: r["value"] for r in rows}
         raw = props.get(self.MANIFEST_PROP)
         if raw is None:

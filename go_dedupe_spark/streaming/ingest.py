@@ -154,6 +154,8 @@ def streaming_near_dup_pairs(
     salt_cap: int = 40,
     index_bucket_cap: int = 50,
     trigger_once: bool = True,
+    stats_dir: str | None = None,
+    compact_every: int | None = None,
 ):
     """Streaming NEAR-dup detection — the streaming twin of the batch
     ``dedupe.minhash_lsh_pairs`` path (VERDICT r3 next #8): a
@@ -190,6 +192,29 @@ def streaming_near_dup_pairs(
     ``scope_col`` (e.g. lang) prefixes every band key — batch-operator
     parity: buckets never cross scopes, within a batch or across
     batches.
+
+    Index maintenance (VERDICT r4 missing #4):
+
+    - ``stats_dir``: a running per-key occupancy table. Each batch
+      appends one (block_key, n, batch_id) delta row per admitted key
+      and reads occupancy from THIS table instead of count-aggregating
+      the full id-level index — the per-batch aggregate shrinks from
+      one row per (id, block_key) index entry to one row per
+      (block_key, batch) delta, and compaction (below) collapses the
+      deltas to one row per key. Parquet appends can't update in
+      place, so deltas-summed-on-read is the append-only equivalent of
+      a running-counts upsert; on a cluster make stats an Iceberg
+      table and MERGE.
+    - ``compact_every``: every N batches, rewrite ``index_dir`` to
+      ~sqrt(n_rows/64k) files and collapse ``stats_dir`` to one row
+      per key — a long-running stream otherwise accumulates one file
+      set per batch and the membership anti-join rereads them all.
+      The rewrite breaks lineage via localCheckpoint then overwrites
+      in place; foreachBatch serializes batches so no reader races
+      it, but a crash mid-overwrite can lose the local index (same
+      caveat as the pairs append above — an Iceberg sink, e.g.
+      plans.checkpoint.IcebergBackend, makes both atomic; Iceberg's
+      rewrite_data_files is this exact operation).
 
     Pairs schema: (id_a, id_b, batch_id) with id_a < id_b. Returns the
     StreamingQuery."""
@@ -237,13 +262,16 @@ def streaming_near_dup_pairs(
         # the lost pairs (the band keys still get appended below).
         from pyspark.errors import AnalysisException
 
-        try:
-            idx = spark.read.parquet(index_dir)
-            have_index = True
-        except AnalysisException as exc:
-            if "PATH_NOT_FOUND" not in str(exc):
-                raise
-            have_index = False
+        def read_or_none(path: str) -> DataFrame | None:
+            try:
+                return spark.read.parquet(path)
+            except AnalysisException as exc:
+                if "PATH_NOT_FOUND" not in str(exc):
+                    raise
+                return None
+
+        idx = read_or_none(index_dir)
+        have_index = idx is not None
         if have_index:
             # the index is capped at write time — join it directly
             cross = (
@@ -278,13 +306,40 @@ def streaming_near_dup_pairs(
             fresh = keyed.join(idx, ["id", "block_key"], "left_anti")
         admitted = fresh.withColumn("_r", F.row_number().over(w_new))
         if have_index:
-            occupancy = idx.groupBy("block_key").agg(
-                F.count("*").alias("_n_old"))
+            stats = read_or_none(stats_dir) if stats_dir else None
+            if stats is not None:
+                # running-counts table: sum the per-batch deltas —
+                # rows ~ (keys x batches-since-compaction), never the
+                # id-level index
+                occupancy = stats.groupBy("block_key").agg(
+                    F.sum("n").alias("_n_old"))
+            else:
+                occupancy = idx.groupBy("block_key").agg(
+                    F.count("*").alias("_n_old"))
             admitted = admitted.join(occupancy, "block_key", "left") \
                 .withColumn("_r", F.col("_r") + F.coalesce("_n_old", F.lit(0)))
-        admitted.where(F.col("_r") <= index_bucket_cap) \
-            .select("id", "block_key") \
-            .write.mode("append").parquet(index_dir)
+        adm = admitted.where(F.col("_r") <= index_bucket_cap) \
+            .select("id", "block_key").localCheckpoint(eager=True)
+        adm.write.mode("append").parquet(index_dir)
+        if stats_dir:
+            adm.groupBy("block_key").agg(F.count("*").alias("n")) \
+                .withColumn("batch_id", F.lit(batch_id).cast("long")) \
+                .write.mode("append").parquet(stats_dir)
+
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            for path, collapse in ((index_dir, False), (stats_dir, True)):
+                if not path:
+                    continue
+                cur = read_or_none(path)
+                if cur is None:
+                    continue
+                if collapse:
+                    cur = cur.groupBy("block_key").agg(
+                        F.sum("n").alias("n"),
+                        F.max("batch_id").alias("batch_id"))
+                snap = cur.localCheckpoint(eager=True)  # break lineage
+                nf = max(1, int((snap.count() / 65536) ** 0.5))
+                snap.repartition(nf).write.mode("overwrite").parquet(path)
 
     writer = (
         stream_df.writeStream

@@ -115,6 +115,22 @@ def test_iceberg_backend_fails_fast_without_catalog(spark):
         IcebergBackend(spark, catalog="nonexistent_catalog")
 
 
+def test_iceberg_ident_disambiguates_colliding_keys():
+    """ADVICE r4: identifier sanitization is lossy ('a-b' and 'a_b'
+    both sanitize to 'a_b'), so _ident appends a short hash of the RAW
+    key — colliding checkpoint keys must map to distinct tables, or a
+    stage could silently resume from another stage's data."""
+    from go_dedupe_spark.plans.checkpoint import IcebergBackend
+
+    b = IcebergBackend.__new__(IcebergBackend)   # skip catalog probe
+    b.catalog, b.namespace = "cat", "ns"
+    i1, i2 = b._ident("a-b@h"), b._ident("a_b@h")
+    assert i1 != i2
+    assert b._ident("a-b@h") == i1               # deterministic
+    table = i1.split(".")[-1]
+    assert all(ch.isalnum() or ch == "_" for ch in table)
+
+
 def test_iceberg_backend_seam_contract(spark, tmp_path):
     """Seam-contract run against a real Iceberg hadoop catalog — skips
     where the runtime jar is absent (this sandbox); on a provisioned

@@ -40,6 +40,29 @@ def test_edtf_is_deprecated_predicate(spark):
     assert got == {"a": True, "b": False, "c": True, "d": True}
 
 
+def test_edtf_is_deprecated_strict_survivorship(spark):
+    """ADVICE r4: the SURVIVORSHIP check mirrors process.go's d != ""
+    — empty string is NOT deprecated there, unlike the iterator's
+    any-present-value regex. The two predicates must disagree exactly
+    on the empty string."""
+    from go_dedupe_spark.functions.edtf import edtf_is_deprecated_strict
+
+    df = spark.createDataFrame(
+        [("a", "2021-04-01"), ("b", None), ("c", ""), ("d", " "),
+         ("e", "uuuu")],
+        ["id", "dep"])
+    strict = {r["id"]: r["x"] for r in
+              df.select("id",
+                        edtf_is_deprecated_strict("dep").alias("x"))
+              .collect()}
+    assert strict == {"a": True, "b": False, "c": False, "d": False,
+                      "e": True}
+    loose = {r["id"]: r["x"] for r in
+             df.select("id", edtf_is_deprecated("dep").alias("x"))
+             .collect()}
+    assert {k for k in strict if strict[k] != loose[k]} == {"c", "d"}
+
+
 def test_metadata_union_reserved_key_wins(spark):
     df = spark.createDataFrame([(1, "u1")], ["id", "user"])
     custom = F.create_map(F.lit("user"), F.col("user"),

@@ -24,6 +24,16 @@ TABLES = [
 ]
 
 
+class ArrayCellError(TypeError):
+    """Raised when a query returns a list/array cell. The DRIVER's
+    canonicalizer (pandas sort_values over all columns) throws
+    `unhashable type: 'list'` on array columns, so contract queries
+    must scalarize arrays (posexplode or canonical-CSV). Round 4's
+    checker stringified lists here and masked exactly that failure
+    (VERDICT r4 defect #1) — now we fail the same way the driver does.
+    """
+
+
 def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -32,7 +42,10 @@ def norm_cell(v):
     if isinstance(v, bool):
         return str(int(v))
     if isinstance(v, (list, tuple)):
-        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+        raise ArrayCellError(
+            "array-valued cell violates the driver canonicalizer; "
+            "scalarize (posexplode / canonical CSV) before returning"
+        )
     return str(v)
 
 
@@ -91,8 +104,13 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL {name}: rowcount spark={len(srows)} oracle={len(orows)}")
             continue
-        a = norm_rows(scols, [[r[c] for c in scols] for r in srows])
-        b = norm_rows(ocols, orows)
+        try:
+            a = norm_rows(scols, [[r[c] for c in scols] for r in srows])
+            b = norm_rows(ocols, orows)
+        except ArrayCellError as e:
+            failures.append(name)
+            print(f"FAIL {name}: {e}")
+            continue
         if a != b:
             failures.append(name)
             diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
