@@ -413,8 +413,11 @@ def er_resolution(spark, sf_dir):
 
 # The sf documents table is all-valid, so the quarantine contract row
 # corrupts it DETERMINISTICALLY (modular doc_id predicates, mirrored
-# exactly in the DuckDB twin) — nonzero rejects across every reason,
-# plus an accept-count row proving the two sides partition the input.
+# exactly in the DuckDB twin) — nonzero rejects across every reason.
+# That normalize()'s accept side and this reject side PARTITION the
+# input (disjoint, union = all rows) is pinned by
+# tests/test_pipeline.py::test_normalize_quarantine_partition_contract
+# on this same corrupted frame.
 _QUAR_CORRUPT_SQL = """
 fl AS (
   SELECT doc_id,
@@ -1347,31 +1350,57 @@ def _writeback_scratch(sf_dir: str, kind: str) -> Path:
     and (b) recreating the dir within a process only invalidates THIS
     process's previous lazy DataFrame — which the single-pass driver /
     bench harness has always fully consumed by then. Scratch dirs left
-    by OTHER pids are swept once stale by age: a pid-liveness probe
-    (os.kill(pid, 0)) is POSIX-only and a recycled pid would keep a
-    dead dir alive forever (ADVICE r4), whereas any dir a live run is
-    actually using was recreated — and hence re-stamped — by that run
-    within the last hour."""
+    by OTHER pids are swept when their owner is provably gone: the dir
+    records the owner's (pid, process start time) in an ``_owner``
+    marker, and the sweep deletes only when /proc says the pid is gone
+    OR its start time differs (the pid was recycled by an unrelated
+    process — the ADVICE r4 leak). A merely-old dir whose owner is
+    still alive is NEVER deleted (an mtime cutoff would rmtree under a
+    live >1h run mid-query); without /proc (non-Linux) the sweep is
+    skipped entirely — bounded /tmp accumulation beats deleting live
+    data."""
     import hashlib
     import os
     import shutil
     import tempfile
-    import time
+
+    def _proc_starttime(pid: int) -> str | None:
+        # field 22 of /proc/<pid>/stat, after the parenthesized comm
+        # (which may itself contain spaces)
+        try:
+            with open(f"/proc/{pid}/stat", "rb") as fh:
+                raw = fh.read().decode("ascii", "replace")
+            return raw.rsplit(")", 1)[1].split()[19]
+        except (OSError, IndexError):
+            return None
 
     tag = hashlib.sha256(str(sf_dir).encode()).hexdigest()[:8]
     root = Path(tempfile.gettempdir())
     prefix = f"go_dedupe_wb_{kind}_{tag}_pid"
-    stale_after = 3600.0
-    for old in root.glob(prefix + "*"):
-        try:
-            if time.time() - old.stat().st_mtime > stale_after:
-                shutil.rmtree(old, ignore_errors=True)
-        except OSError:
-            pass                           # raced with its owner
+    if os.path.isdir("/proc"):
+        for old in root.glob(prefix + "*"):
+            try:
+                pid = int(old.name[len(prefix):])
+            except ValueError:
+                continue
+            if pid == os.getpid():
+                continue
+            live = _proc_starttime(pid)
+            if live is not None:
+                try:
+                    marker = (old / "_owner").read_text().strip()
+                except OSError:
+                    continue              # legacy dir, owner pid alive
+                if marker == live:
+                    continue              # genuinely the same live owner
+            shutil.rmtree(old, ignore_errors=True)
     base = root / f"{prefix}{os.getpid()}"
     if base.exists():
         shutil.rmtree(base)
     base.mkdir(parents=True)
+    own = _proc_starttime(os.getpid())
+    if own is not None:
+        (base / "_owner").write_text(own)
     return base
 
 

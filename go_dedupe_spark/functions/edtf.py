@@ -69,6 +69,9 @@ def edtf_is_deprecated_strict(col: Column | str) -> Column:
     deprecated-side-loses, which tests ``d != ""`` (process.go), NOT
     the iterator's any-present-value regex. Pass as the leading
     ``not_deprecated`` column of ``resolve_clusters(order_cols=...)``
-    via ``~edtf_is_deprecated_strict(...)``."""
+    via ``~edtf_is_deprecated_strict(...)``. Exact ``d != ""``: a
+    whitespace-only value IS deprecated (Go compares the raw string —
+    trimming first would flip survivor choice on records carrying
+    ``edtf:deprecated=' '``)."""
     c = F.col(col) if isinstance(col, str) else col
-    return c.isNotNull() & (F.trim(c) != "")
+    return c.isNotNull() & (c != "")

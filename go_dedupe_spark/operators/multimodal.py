@@ -98,9 +98,10 @@ def _pil_decode_f64(payload: bytes) -> np.ndarray:
     # for square FEATURE_DIMs — fail loudly rather than silently
     # returning a wrong-length vector while the fake path keeps
     # emitting FEATURE_DIM values (ADVICE r4)
-    assert side * side == FEATURE_DIM, (
-        f"FEATURE_DIM={FEATURE_DIM} is not a perfect square; the PIL "
-        f"decode path cannot produce it")
+    if side * side != FEATURE_DIM:      # not assert: -O must not strip it
+        raise ValueError(
+            f"FEATURE_DIM={FEATURE_DIM} is not a perfect square; the PIL "
+            f"decode path cannot produce it")
     small = img.resize((side, side), resample=Image.NEAREST)
     return np.asarray(small, dtype=np.float64).reshape(-1) / 255.0
 

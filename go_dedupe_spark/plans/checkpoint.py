@@ -160,15 +160,37 @@ class IcebergBackend:
                 f"unusable (is iceberg-spark-runtime on the classpath?): "
                 f"{exc}") from exc
 
-    def _ident(self, key: str) -> str:
+    def _ident(self, key: str, *, tagged: bool = True) -> str:
         # checkpoint keys are "stage@hash" — '@' needs quoting in SQL
         # identifiers, so normalize to an identifier-safe name. The
         # sanitization is lossy ('a-b' and 'a_b' collide), so a short
         # hash of the RAW key disambiguates: colliding stage names must
-        # not silently resume from each other's data.
+        # not silently resume from each other's data. tagged=False is
+        # the pre-tag naming scheme, kept readable for migration.
         safe = "".join(c if c.isalnum() or c == "_" else "_" for c in key)
+        if not tagged:
+            return f"{self.catalog}.{self.namespace}.{safe}"
         tag = hashlib.sha256(key.encode()).hexdigest()[:8]
         return f"{self.catalog}.{self.namespace}.{safe}_{tag}"
+
+    def _resolve_ident(self, key: str) -> str:
+        """The tagged name when it exists; else a PRE-TAG legacy table
+        whose stored manifest provably belongs to this key (its stage
+        prefixes the raw key — the collision the tag guards against
+        fails this check). Without the fallback, upgrading a cluster
+        with existing checkpoints would silently full-recompute every
+        stage and orphan the old tables. New writes always use the
+        tagged name; a recompute leaves a read-compatible legacy table
+        orphaned, never resumes from the wrong one."""
+        ident = self._ident(key)
+        if self.spark.catalog.tableExists(ident):
+            return ident
+        legacy = self._ident(key, tagged=False)
+        if legacy != ident and self.spark.catalog.tableExists(legacy):
+            meta = self._manifest_of(legacy)
+            if meta and key.startswith(str(meta.get("stage", "")) + "@"):
+                return legacy
+        return ident
 
     def write_table(self, df: DataFrame, key: str) -> DataFrame:
         ident = self._ident(key)
@@ -176,18 +198,10 @@ class IcebergBackend:
         return self.spark.read.table(ident)
 
     def read_table(self, spark: SparkSession, key: str) -> DataFrame:
-        return spark.read.table(self._ident(key))
+        return spark.read.table(self._resolve_ident(key))
 
-    def get_manifest(self, key: str) -> dict | None:
-        # ONLY table-absent means "no checkpoint" — a transient
-        # catalog/FS failure must propagate, not silently trigger a
-        # full recompute + createOrReplace of the table (ADVICE r4).
-        # tableExists is the positive probe; SHOW TBLPROPERTIES errors
-        # after that are real errors.
-        if not self.spark.catalog.tableExists(self._ident(key)):
-            return None
-        rows = self.spark.sql(
-            f"SHOW TBLPROPERTIES {self._ident(key)}").collect()
+    def _manifest_of(self, ident: str) -> dict | None:
+        rows = self.spark.sql(f"SHOW TBLPROPERTIES {ident}").collect()
         props = {r["key"]: r["value"] for r in rows}
         raw = props.get(self.MANIFEST_PROP)
         if raw is None:
@@ -196,6 +210,17 @@ class IcebergBackend:
             return json.loads(base64.b64decode(raw))
         except (ValueError, json.JSONDecodeError):
             return None
+
+    def get_manifest(self, key: str) -> dict | None:
+        # ONLY table-absent means "no checkpoint" — a transient
+        # catalog/FS failure must propagate, not silently trigger a
+        # full recompute + createOrReplace of the table (ADVICE r4).
+        # tableExists (inside _resolve_ident) is the positive probe;
+        # SHOW TBLPROPERTIES errors after that are real errors.
+        ident = self._resolve_ident(key)
+        if not self.spark.catalog.tableExists(ident):
+            return None
+        return self._manifest_of(ident)
 
     def put_manifest(self, key: str, meta: dict) -> None:
         # base64 the JSON: embedding it as a SQL string literal would
@@ -256,6 +281,7 @@ class CheckpointStore:
         meta = self.backend.get_manifest(self._key(stage, input_snapshot))
         return (
             meta is not None
+            and meta.get("stage") == stage
             and meta.get("input_snapshot") == input_snapshot
             and meta.get("complete") is True
         )

@@ -204,7 +204,17 @@ def streaming_near_dup_pairs(
       deltas to one row per key. Parquet appends can't update in
       place, so deltas-summed-on-read is the append-only equivalent of
       a running-counts upsert; on a cluster make stats an Iceberg
-      table and MERGE.
+      table and MERGE. Two invariants keep stats from silently
+      UNDER-counting the index (which would let buckets grow past the
+      cap — the blowup the cap exists to prevent): (1) enabling
+      stats_dir over a pre-existing index first SEEDS the table with a
+      one-time full per-key count (batch_id = -1), so deltas always
+      cover the whole index; (2) the delta is appended BEFORE the
+      index append and occupancy reads take max(n) per (block_key,
+      batch_id) before summing, so an at-least-once replay of a batch
+      that crashed between the two writes leaves stats >= true index
+      occupancy — a bounded CONSERVATIVE error (a few cap slots
+      wasted), never an unbounded bucket.
     - ``compact_every``: every N batches, rewrite ``index_dir`` to
       ~sqrt(n_rows/64k) files and collapse ``stats_dir`` to one row
       per key — a long-running stream otherwise accumulates one file
@@ -226,12 +236,27 @@ def streaming_near_dup_pairs(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # eager localCheckpoints pin RDD blocks in executor storage; a
+        # continuous stream runs this for every micro-batch, so each
+        # one is unpersisted when the batch finishes — otherwise blocks
+        # accumulate for the stream's lifetime and batches slow under
+        # storage/GC pressure.
+        checkpointed: list[DataFrame] = []
+        try:
+            _process_inner(spark, batch_df, batch_id, checkpointed)
+        finally:
+            for df in checkpointed:
+                df.unpersist()
+
+    def _process_inner(spark, batch_df: DataFrame, batch_id: int,
+                       checkpointed: list) -> None:
         batch = batch_df.select(
             F.col(id_col).cast("string").alias("id"),
             F.col(text_col).alias("text"),
             *([F.col(scope_col).cast("string").alias("_scope")]
               if scope_col else []),
         ).dropDuplicates(["id"]).localCheckpoint(eager=True)
+        checkpointed.append(batch)
 
         within = minhash_lsh_pairs(
             batch, "id", "text", num_hashes=num_hashes,
@@ -307,12 +332,27 @@ def streaming_near_dup_pairs(
         admitted = fresh.withColumn("_r", F.row_number().over(w_new))
         if have_index:
             stats = read_or_none(stats_dir) if stats_dir else None
+            if stats_dir and stats is None:
+                # stats newly enabled over a pre-existing index: seed
+                # the running table with the full per-key count ONCE,
+                # so deltas cover the whole index from here on —
+                # otherwise occupancy would omit every pre-stats row
+                # and each batch would re-admit up to the cap per key.
+                idx.groupBy("block_key").agg(F.count("*").alias("n")) \
+                    .withColumn("batch_id", F.lit(-1).cast("long")) \
+                    .write.mode("append").parquet(stats_dir)
+                stats = read_or_none(stats_dir)
             if stats is not None:
                 # running-counts table: sum the per-batch deltas —
                 # rows ~ (keys x batches-since-compaction), never the
-                # id-level index
-                occupancy = stats.groupBy("block_key").agg(
-                    F.sum("n").alias("_n_old"))
+                # id-level index. max(n) per (block_key, batch_id)
+                # first: a replayed batch appends a second delta row
+                # under the same batch_id, which must not double-count.
+                occupancy = (
+                    stats.groupBy("block_key", "batch_id")
+                    .agg(F.max("n").alias("_bn"))
+                    .groupBy("block_key").agg(F.sum("_bn").alias("_n_old"))
+                )
             else:
                 occupancy = idx.groupBy("block_key").agg(
                     F.count("*").alias("_n_old"))
@@ -320,11 +360,16 @@ def streaming_near_dup_pairs(
                 .withColumn("_r", F.col("_r") + F.coalesce("_n_old", F.lit(0)))
         adm = admitted.where(F.col("_r") <= index_bucket_cap) \
             .select("id", "block_key").localCheckpoint(eager=True)
-        adm.write.mode("append").parquet(index_dir)
+        checkpointed.append(adm)
+        # delta BEFORE the index append: a crash between the two writes
+        # then replays with stats >= index occupancy (conservative; the
+        # orphan delta's slots are wasted, the cap is never exceeded).
+        # The reverse order would leave stats UNDER-counting forever.
         if stats_dir:
             adm.groupBy("block_key").agg(F.count("*").alias("n")) \
                 .withColumn("batch_id", F.lit(batch_id).cast("long")) \
                 .write.mode("append").parquet(stats_dir)
+        adm.write.mode("append").parquet(index_dir)
 
         if compact_every and (batch_id + 1) % compact_every == 0:
             for path, collapse in ((index_dir, False), (stats_dir, True)):
@@ -334,12 +379,20 @@ def streaming_near_dup_pairs(
                 if cur is None:
                     continue
                 if collapse:
-                    cur = cur.groupBy("block_key").agg(
-                        F.sum("n").alias("n"),
-                        F.max("batch_id").alias("batch_id"))
+                    # same max-per-(key, batch) dedup as the occupancy
+                    # read, so replay-duplicated deltas collapse to the
+                    # conservative count instead of summing twice
+                    cur = (
+                        cur.groupBy("block_key", "batch_id")
+                        .agg(F.max("n").alias("n"))
+                        .groupBy("block_key")
+                        .agg(F.sum("n").alias("n"),
+                             F.max("batch_id").alias("batch_id"))
+                    )
                 snap = cur.localCheckpoint(eager=True)  # break lineage
                 nf = max(1, int((snap.count() / 65536) ** 0.5))
                 snap.repartition(nf).write.mode("overwrite").parquet(path)
+                snap.unpersist()
 
     writer = (
         stream_df.writeStream

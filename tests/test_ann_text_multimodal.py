@@ -849,3 +849,62 @@ def test_streaming_near_dup_stats_and_compaction(spark, tmp_path):
     per_key_rows = (stats.groupBy("block_key").count()
                     .agg(F.max("count")).collect()[0][0])
     assert per_key_rows <= 2
+
+
+def test_streaming_near_dup_stats_seeded_on_existing_index(spark, tmp_path):
+    """Enabling stats_dir on a RESTARTED stream whose index already has
+    pre-stats batches must seed the running table with the full per-key
+    index count (batch_id=-1) — otherwise occupancy omits every
+    pre-stats row and each batch re-admits up to the cap per key,
+    unbounding the buckets the cap exists to bound. Admission decisions
+    must equal an all-plain run's, and stats occupancy must equal true
+    index occupancy."""
+    from pyspark.sql import functions as F
+
+    from go_dedupe_spark.streaming.ingest import streaming_near_dup_pairs
+
+    text = "identical shared boilerplate text in every single document"
+    batches = [
+        [(f"{b}{i:02d}", text) for i in range(4)] for b in ("a", "b", "c")
+    ]
+
+    def start(tag, nfiles, **kw):
+        src = tmp_path / f"{tag}_src"
+        for j in range(nfiles):
+            out = src / f"f{j}"
+            if not out.exists():
+                spark.createDataFrame(batches[j], ["doc_id", "text"]) \
+                    .repartition(1).write.parquet(str(out))
+        stream = (spark.readStream
+                  .schema("doc_id string, text string")
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(str(src / "*")))
+        q = streaming_near_dup_pairs(
+            stream,
+            index_dir=str(tmp_path / f"{tag}_index"),
+            pairs_dir=str(tmp_path / f"{tag}_pairs"),
+            checkpoint_dir=str(tmp_path / f"{tag}_ck"),
+            num_hashes=4, band_rows=2, index_bucket_cap=6, **kw)
+        q.awaitTermination(180)
+
+    # reference: all three batches with no stats table
+    start("ref", 3)
+    # restart path: two batches plain, then stats_dir enabled for batch 3
+    start("re", 2)
+    stats_dir = str(tmp_path / "re_stats")
+    start("re", 3, stats_dir=stats_dir)
+
+    def index_of(tag):
+        return {(r["id"], r["block_key"]) for r in
+                spark.read.parquet(str(tmp_path / f"{tag}_index")).collect()}
+
+    assert index_of("re") == index_of("ref")   # admission identical
+    stats = spark.read.parquet(stats_dir)
+    # the seed row set carries batch_id = -1
+    assert stats.where(F.col("batch_id") == -1).count() > 0
+    occ = {r["block_key"]: r["n"] for r in
+           stats.groupBy("block_key").agg(F.sum("n").alias("n")).collect()}
+    truth = {r["block_key"]: r["n"] for r in
+             spark.read.parquet(str(tmp_path / "re_index"))
+             .groupBy("block_key").agg(F.count("*").alias("n")).collect()}
+    assert occ == truth

@@ -43,8 +43,9 @@ def test_edtf_is_deprecated_predicate(spark):
 def test_edtf_is_deprecated_strict_survivorship(spark):
     """ADVICE r4: the SURVIVORSHIP check mirrors process.go's d != ""
     — empty string is NOT deprecated there, unlike the iterator's
-    any-present-value regex. The two predicates must disagree exactly
-    on the empty string."""
+    any-present-value regex — RAW comparison, no trim: whitespace-only
+    ' ' satisfies d != "" and IS deprecated. The two predicates must
+    disagree exactly on the empty string."""
     from go_dedupe_spark.functions.edtf import edtf_is_deprecated_strict
 
     df = spark.createDataFrame(
@@ -55,12 +56,12 @@ def test_edtf_is_deprecated_strict_survivorship(spark):
               df.select("id",
                         edtf_is_deprecated_strict("dep").alias("x"))
               .collect()}
-    assert strict == {"a": True, "b": False, "c": False, "d": False,
+    assert strict == {"a": True, "b": False, "c": False, "d": True,
                       "e": True}
     loose = {r["id"]: r["x"] for r in
              df.select("id", edtf_is_deprecated("dep").alias("x"))
              .collect()}
-    assert {k for k in strict if strict[k] != loose[k]} == {"c", "d"}
+    assert {k for k in strict if strict[k] != loose[k]} == {"c"}
 
 
 def test_metadata_union_reserved_key_wins(spark):

@@ -52,6 +52,43 @@ def test_quarantine_catches_invalid(spark):
     ]
 
 
+def test_normalize_quarantine_partition_contract(spark):
+    """The er_quarantine contract row pins the reject side; this pins
+    that normalize() (accepts) and quarantine() (rejects) PARTITION the
+    input — disjoint natural keys, counts summing to the input — on the
+    same modular-corruption frame the entry query uses, so neither side
+    silently drops or double-counts a row."""
+    n = 600
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 41 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("org/r"), (F.col("id") % 7).cast("string"))
+        ).alias("repo"),
+        F.when(F.col("id") % 43 == 1, F.lit(None).cast("string"))
+         .otherwise(F.concat(F.lit("src/f"), F.col("id").cast("string"),
+                             F.lit(".py"))).alias("path"),
+        F.when(F.col("id") % 47 == 2, F.lit("")).otherwise(
+            F.sha2(F.col("id").cast("string"), 256).substr(1, 8)
+        ).alias("commit"),
+        F.when(F.col("id") % 53 == 3, F.lit(None).cast("string"))
+         .otherwise(F.lit("python")).alias("lang"),
+        F.when(F.col("id") % 59 == 4, F.lit(None).cast("string"))
+         .otherwise(F.concat(F.lit("content "), F.col("id").cast("string"))
+                    ).alias("content"),
+    )
+    accepted = normalize(base)
+    rejected = quarantine(base)
+    n_acc, n_rej = accepted.count(), rejected.count()
+    assert n_acc + n_rej == n
+    assert n_rej > 0 and n_acc > 0
+    # disjoint: no doc appears on both sides
+    acc_ids = accepted.select(
+        F.regexp_extract("path", r"src/f(\d+)\.py", 1).cast("long")
+        .alias("doc_id"))
+    both = rejected.select("doc_id").join(acc_ids, "doc_id").count()
+    assert both == 0
+
+
 def test_blocking_recall(spark, files_df, labeled_df):
     """Every labeled-true pair must co-occur in >= 1 block (FIXTURES.md
     invariant 3 — banding recall guard)."""
