@@ -908,3 +908,66 @@ def test_streaming_near_dup_stats_seeded_on_existing_index(spark, tmp_path):
              spark.read.parquet(str(tmp_path / "re_index"))
              .groupBy("block_key").agg(F.count("*").alias("n")).collect()}
     assert occ == truth
+
+
+def test_streaming_near_dup_replayed_delta_read_conservative(spark, tmp_path):
+    """The crash-replay contract: a batch that dies between its stats
+    append and its index append leaves an ORPHAN delta under its
+    batch_id; the retry appends another delta under the SAME batch_id.
+    Occupancy reads take max(n) per (block_key, batch_id) before
+    summing — the orphan is counted once (conservative: stats >= true
+    index occupancy, its slots wasted), not summed twice, and the cap
+    is never exceeded. Simulated by hand-appending a duplicate-batch_id
+    delta row between restarts."""
+    from pyspark.sql import functions as F
+
+    from go_dedupe_spark.streaming.ingest import streaming_near_dup_pairs
+
+    text = "identical shared boilerplate text in every single document"
+    batches = [
+        [(f"{b}{i:02d}", text) for i in range(4)] for b in ("a", "b", "c")
+    ]
+    stats_dir = str(tmp_path / "stats")
+
+    def start(nfiles):
+        src = tmp_path / "src"
+        for j in range(nfiles):
+            out = src / f"f{j}"
+            if not out.exists():
+                spark.createDataFrame(batches[j], ["doc_id", "text"]) \
+                    .repartition(1).write.parquet(str(out))
+        stream = (spark.readStream
+                  .schema("doc_id string, text string")
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(str(src / "*")))
+        q = streaming_near_dup_pairs(
+            stream,
+            index_dir=str(tmp_path / "index"),
+            pairs_dir=str(tmp_path / "pairs"),
+            checkpoint_dir=str(tmp_path / "ck"),
+            num_hashes=4, band_rows=2, index_bucket_cap=12,
+            stats_dir=stats_dir)
+        q.awaitTermination(180)
+
+    start(2)                 # batches 0 and 1: 4 + 4 admitted per key
+    stats = spark.read.parquet(stats_dir)
+    # orphan: pretend batch 1's first (crashed) attempt admitted 6 per
+    # key before dying pre-index-append; its delta rows remain
+    stats.select("block_key").distinct() \
+        .withColumn("n", F.lit(6).cast(stats.schema["n"].dataType)) \
+        .withColumn("batch_id", F.lit(1).cast("long")) \
+        .write.mode("append").parquet(stats_dir)
+    start(3)                 # batch 2 under the poisoned stats table
+
+    idx = spark.read.parquet(str(tmp_path / "index"))
+    per_key = idx.groupBy("block_key").agg(F.count("*").alias("n"))
+    # cap never exceeded
+    assert per_key.where(F.col("n") > 12).count() == 0
+    # max-dedup read: occupancy = 4 + max(4, 6) = 10 -> batch 2 admits
+    # exactly 2 per key (a sum read would see 14 and admit 0; a true
+    # read would see 8 and admit 4)
+    batch2 = idx.where(F.col("id").startswith("c"))
+    got = {r["n"] for r in
+           batch2.groupBy("block_key").agg(F.count("*").alias("n"))
+           .collect()}
+    assert got == {2}
