@@ -1356,9 +1356,12 @@ def _writeback_scratch(sf_dir: str, kind: str) -> Path:
     OR its start time differs (the pid was recycled by an unrelated
     process — the ADVICE r4 leak). A merely-old dir whose owner is
     still alive is NEVER deleted (an mtime cutoff would rmtree under a
-    live >1h run mid-query); without /proc (non-Linux) the sweep is
-    skipped entirely — bounded /tmp accumulation beats deleting live
-    data."""
+    live >1h run mid-query); off Linux the sweep is skipped entirely
+    (the start-time probe parses Linux's /proc/<pid>/stat — a BSD
+    procfs would false-negative every live pid) — bounded /tmp
+    accumulation beats deleting live data. Markerless dirs from
+    pre-marker code keep the old bounded-leak behavior: deleted when
+    their pid is gone, kept while any process holds it."""
     import hashlib
     import os
     import shutil
@@ -1377,7 +1380,8 @@ def _writeback_scratch(sf_dir: str, kind: str) -> Path:
     tag = hashlib.sha256(str(sf_dir).encode()).hexdigest()[:8]
     root = Path(tempfile.gettempdir())
     prefix = f"go_dedupe_wb_{kind}_{tag}_pid"
-    if os.path.isdir("/proc"):
+    import sys as _sys
+    if _sys.platform.startswith("linux") and os.path.isdir("/proc"):
         for old in root.glob(prefix + "*"):
             try:
                 pid = int(old.name[len(prefix):])

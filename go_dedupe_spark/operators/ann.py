@@ -137,6 +137,7 @@ def train_ivf_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_rows: int | None = None,
+    total_rows: int | None = None,
 ) -> DataFrame:
     """Deterministic spherical k-means (Lloyd's) trainer for
     ``cosine_topk_ivf`` — pure DataFrame ops, no mllib dependency
@@ -168,20 +169,28 @@ def train_ivf_centroids(
     identical subset; no global TakeOrdered/sort — an orderBy().limit()
     here would merge every partition's candidates through ONE task (a
     single-executor OOM funnel at the 10^12-row scale the knob exists
-    for) and leave the training set single-partition. The only extra
-    cost is one count() (aggregate-only scan) to size the cutoff. At
-    10^12 rows the full (id, vec) projection cannot localCheckpoint;
-    sampled training is the standard k-means practice (centroids
-    generalize; the reference likewise builds HNSW on the indexed
-    subset, vector/duckdb.go:266-286)."""
+    for) and leave the training set single-partition. Sizing the
+    cutoff needs the corpus row count: pass ``total_rows`` when the
+    caller already knows it (table stats, a prior count) to skip the
+    one extra count() pass over ``items``'s lineage — the count is
+    aggregate-only (nothing materializes), which at corpus scale beats
+    persisting the full projection just to count it once. At 10^12
+    rows the full (id, vec) projection cannot localCheckpoint; sampled
+    training is the standard k-means practice (centroids generalize;
+    the reference likewise builds HNSW on the indexed subset,
+    vector/duckdb.go:266-286). Sample size is binomial around
+    max_rows; a draw below ``k`` (only possible when max_rows sits
+    within a few sigma of k — a misconfiguration) raises instead of
+    silently training fewer than k centroids."""
     # materialize the (id, vec) projection ONCE: every Lloyd iteration
     # ends in an eager action, and without this each one would re-run
     # the full upstream lineage of ``items`` (iters+1 redundant
     # executions of e.g. a feature pipeline).
     proj = items.select(F.col(id_col).alias("item_id"),
                         F.col(vec_col).cast("array<double>").alias("ivec"))
+    sampled = False
     if max_rows is not None:
-        n = proj.count()
+        n = total_rows if total_rows is not None else proj.count()
         if n > max_rows:
             # 64-bit cutoff rendered as 16 lowercase-hex chars: the
             # lexicographic compare against the 32-char md5 string is
@@ -189,7 +198,13 @@ def train_ivf_centroids(
             cutoff = format(max(1, (max_rows << 64) // n), "016x")
             proj = proj.where(
                 F.md5(F.col("item_id").cast("string")) < F.lit(cutoff))
+            sampled = True
     it = proj.localCheckpoint(eager=True)
+    if sampled and it.count() < k:        # count on the materialized
+        raise ValueError(                 # checkpoint: no recompute
+            f"train_ivf_centroids: md5-threshold sample has {it.count()} "
+            f"rows < k={k}; max_rows={max_rows} is too close to k — "
+            f"raise max_rows")
     # the sample is a prefix of the md5 ordering, so the sampled init
     # picks the first-k of that same ordering
     init = (

@@ -173,24 +173,27 @@ class IcebergBackend:
         tag = hashlib.sha256(key.encode()).hexdigest()[:8]
         return f"{self.catalog}.{self.namespace}.{safe}_{tag}"
 
-    def _resolve_ident(self, key: str) -> str:
-        """The tagged name when it exists; else a PRE-TAG legacy table
-        whose stored manifest provably belongs to this key (its stage
-        prefixes the raw key — the collision the tag guards against
-        fails this check). Without the fallback, upgrading a cluster
-        with existing checkpoints would silently full-recompute every
-        stage and orphan the old tables. New writes always use the
-        tagged name; a recompute leaves a read-compatible legacy table
-        orphaned, never resumes from the wrong one."""
+    def _resolve(self, key: str) -> tuple[str, dict | None]:
+        """(ident, manifest) — the tagged name when it exists; else a
+        PRE-TAG legacy table whose stored manifest provably belongs to
+        this key (its stage prefixes the raw key — the collision the
+        tag guards against fails this check). Without the fallback,
+        upgrading a cluster with existing checkpoints would silently
+        full-recompute every stage and orphan the old tables. New
+        writes always use the tagged name; a recompute leaves a
+        read-compatible legacy table orphaned, never resumes from the
+        wrong one. Returning the manifest alongside keeps a resume
+        probe at one tableExists + one SHOW TBLPROPERTIES round-trip
+        against a remote catalog (two more only on the legacy path)."""
         ident = self._ident(key)
         if self.spark.catalog.tableExists(ident):
-            return ident
+            return ident, self._manifest_of(ident)
         legacy = self._ident(key, tagged=False)
         if legacy != ident and self.spark.catalog.tableExists(legacy):
             meta = self._manifest_of(legacy)
             if meta and key.startswith(str(meta.get("stage", "")) + "@"):
-                return legacy
-        return ident
+                return legacy, meta
+        return ident, None
 
     def write_table(self, df: DataFrame, key: str) -> DataFrame:
         ident = self._ident(key)
@@ -198,7 +201,7 @@ class IcebergBackend:
         return self.spark.read.table(ident)
 
     def read_table(self, spark: SparkSession, key: str) -> DataFrame:
-        return spark.read.table(self._resolve_ident(key))
+        return spark.read.table(self._resolve(key)[0])
 
     def _manifest_of(self, ident: str) -> dict | None:
         rows = self.spark.sql(f"SHOW TBLPROPERTIES {ident}").collect()
@@ -215,12 +218,9 @@ class IcebergBackend:
         # ONLY table-absent means "no checkpoint" — a transient
         # catalog/FS failure must propagate, not silently trigger a
         # full recompute + createOrReplace of the table (ADVICE r4).
-        # tableExists (inside _resolve_ident) is the positive probe;
-        # SHOW TBLPROPERTIES errors after that are real errors.
-        ident = self._resolve_ident(key)
-        if not self.spark.catalog.tableExists(ident):
-            return None
-        return self._manifest_of(ident)
+        # tableExists (inside _resolve) is the positive probe; SHOW
+        # TBLPROPERTIES errors after that are real errors.
+        return self._resolve(key)[1]
 
     def put_manifest(self, key: str, meta: dict) -> None:
         # base64 the JSON: embedding it as a SQL string literal would

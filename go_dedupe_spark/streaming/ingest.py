@@ -338,8 +338,18 @@ def streaming_near_dup_pairs(
                 # so deltas cover the whole index from here on —
                 # otherwise occupancy would omit every pre-stats row
                 # and each batch would re-admit up to the cap per key.
+                # coalesce(1): the seed commits as ONE file rename, so
+                # a driver death mid-commit cannot land a PARTIAL seed
+                # (some keys counted, others not) that the `stats is
+                # None` guard would then never repair — all-or-nothing,
+                # and a nothing replays into this branch again. (One
+                # task for a one-time per-key aggregate; the same
+                # non-atomic-parquet caveat as the pairs/index appends
+                # applies — an Iceberg stats table makes it truly
+                # transactional.)
                 idx.groupBy("block_key").agg(F.count("*").alias("n")) \
                     .withColumn("batch_id", F.lit(-1).cast("long")) \
+                    .coalesce(1) \
                     .write.mode("append").parquet(stats_dir)
                 stats = read_or_none(stats_dir)
             if stats is not None:
@@ -390,9 +400,9 @@ def streaming_near_dup_pairs(
                              F.max("batch_id").alias("batch_id"))
                     )
                 snap = cur.localCheckpoint(eager=True)  # break lineage
+                checkpointed.append(snap)  # freed even if the write throws
                 nf = max(1, int((snap.count() / 65536) ** 0.5))
                 snap.repartition(nf).write.mode("overwrite").parquet(path)
-                snap.unpersist()
 
     writer = (
         stream_df.writeStream
