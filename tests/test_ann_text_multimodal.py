@@ -480,6 +480,16 @@ def test_ivf_trained_centroids_beat_subset(spark):
     capped = train_ivf_centroids(items, k=8, iters=3, max_rows=10_000)
     assert sorted(map(tuple, capped.collect())) == \
         sorted(map(tuple, trained.collect()))
+    # total_rows hint: identical result, no extra count() pass
+    hinted = train_ivf_centroids(items, k=8, iters=3, max_rows=160,
+                                 total_rows=320)
+    assert sorted(map(tuple, hinted.collect())) == \
+        sorted(map(tuple, sampled.collect()))
+    # a sample draw below k raises instead of silently under-training
+    # (deterministic: the md5 draw for this fixed corpus at a ~20-row
+    # cutoff is far below k=64)
+    with pytest.raises(ValueError, match="max_rows"):
+        train_ivf_centroids(items, k=64, iters=1, max_rows=20)
 
 
 def test_ivf_trained_end_to_end_fixture(spark):
