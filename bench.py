@@ -21,6 +21,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 HEADLINE = [
     "er_scores",
     "er_components",
+    "er_components_dist",
     "dedup_minhash_lsh",
     "dedup_simhash_hamming",
     "dedup_ngram_jaccard",
@@ -38,8 +39,45 @@ HEADLINE = [
 ]
 
 
+# Committed calm-window reference (BENCH_r05, sf0.1, local[32]). Per-
+# query ratios against it make the two documented noise signatures
+# machine-readable in each round's BENCH JSON (BENCH.md): hypervisor
+# steal slows everything PROPORTIONALLY (ratios uniform), a stray
+# pinned worker or a real regression hits SELECTIVELY (ratio spread).
+# Queries without a reference row (new this round) report no ratio.
+REFERENCE = {
+    "er_scores": 7.77, "er_components": 10.437, "dedup_minhash_lsh": 3.954,
+    "dedup_simhash_hamming": 8.103, "dedup_ngram_jaccard": 6.617,
+    "ann_topk_lsh": 2.219, "ann_topk_ivf": 2.813,
+    "ivf_kmeans_centroids": 5.356, "dedup_embedding_cosine": 1.479,
+    "ann_topk_bruteforce": 1.036, "agg_pricing_summary": 0.655,
+    "join_revenue_top10": 2.445, "window_topk_orders": 0.746,
+    "events_hourly_rollup": 0.535, "text_quality": 1.307,
+    "text_fingerprint": 1.543,
+}
+
+
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def noise_signature(timings: dict[str, float]) -> dict:
+    """Ratio-to-reference per query plus the signature summary: the
+    median ratio reads as overall window speed vs the committed r5
+    wall, and the max/median spread separates proportional (steal,
+    spread ~1) from selective (contention or regression, spread >> 1)
+    slowdowns."""
+    ratios = {q: round(timings[q] / REFERENCE[q], 3)
+              for q in timings if q in REFERENCE and REFERENCE[q] > 0}
+    if not ratios:
+        return {"ratios": {}}
+    vals = sorted(ratios.values())
+    median = vals[len(vals) // 2]
+    return {
+        "ratios": ratios,
+        "ratio_median": round(median, 3),
+        "ratio_spread": round(max(vals) / median, 3) if median else None,
+    }
 
 
 def main() -> None:
@@ -76,14 +114,16 @@ def main() -> None:
         total += dt
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
         "cores": cores,
-    }))
+    }
+    out.update(noise_signature(timings))
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

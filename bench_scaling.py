@@ -253,6 +253,7 @@ def main() -> None:
     r_hi = results[hi]["rows_per_sec_median"]
     lo_t = results[lo]["trials_rows_per_sec"]
     hi_t = results[hi]["trials_rows_per_sec"]
+    pair_host_factors = pair_ratios_norm = None
     if interleave:
         import statistics
         pair_ratios = [
@@ -260,6 +261,22 @@ def main() -> None:
             for l, h in zip(lo_t, hi_t)
         ]
         eff = statistics.median(pair_ratios)
+        # Per-pair host normalization (ADVICE r5): each pair's ratio is
+        # divided by a host factor computed from ITS OWN trials'
+        # bracketing calibration probes — the normalizer's window is
+        # exactly the window that produced the ratio, unlike the
+        # whole-run host_normalized_value below, which divides the
+        # pair-median by the median TRIAL's probes (kept for cross-
+        # round continuity; protocol mismatch documented in BENCH.md).
+        lo_trials, hi_trials = by_level[lo], by_level[hi]
+        if all("cal_jvm_rps" in t for t in lo_trials + hi_trials):
+            pair_host_factors, pair_ratios_norm = [], []
+            for lt, ht, pr in zip(lo_trials, hi_trials, pair_ratios):
+                hj = (ht["cal_jvm_rps"] / lt["cal_jvm_rps"]) / (hi / lo)
+                hp = (ht["cal_py_rps"] / lt["cal_py_rps"]) / (hi / lo)
+                hf = max(hj, hp)          # conservative: more scalable bound
+                pair_host_factors.append(round(hf, 3))
+                pair_ratios_norm.append(round(pr / hf, 3))
     else:
         pair_ratios = None
         eff = (r_hi / r_lo) / (hi / lo)
@@ -298,6 +315,14 @@ def main() -> None:
         summary["host_factor_python"] = round(host_py, 3)
         summary["host_normalized_value"] = round(
             eff / max(host_jvm, host_py), 3)
+    if pair_ratios_norm:
+        import statistics
+        summary["pair_host_factors"] = pair_host_factors
+        summary["pair_ratios_host_normalized"] = pair_ratios_norm
+        # the protocol-consistent normalized headline: median of
+        # per-pair host-normalized ratios
+        summary["host_normalized_value_per_pair"] = round(
+            statistics.median(pair_ratios_norm), 3)
     # identical-output check: cluster counts must agree across levels
     summary["identical_outputs"] = (
         results[lo]["n_clusters"] == results[hi]["n_clusters"]

@@ -353,7 +353,7 @@ def er_matches_topk(spark, sf_dir):
     )
 
 
-@query("er_components", f"""
+_COMPONENTS_SQL = f"""
 WITH RECURSIVE {_records_cte()}, {_blocks_cte()}, {_pairs_cte()}, {_scores_cte()},
 m AS (SELECT id_a, id_b FROM sc WHERE score >= {ER_THRESHOLD}),
 edges AS (SELECT id_a AS u, id_b AS v FROM m
@@ -364,7 +364,10 @@ reach(id, r) AS (
   SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u
 )
 SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
-""")
+"""
+
+
+@query("er_components", _COMPONENTS_SQL)
 def er_components(spark, sf_dir):
     """Stage-5 transitive clustering (fills the reference's gap C5,
     SURVEY.md §2.9) — large-star/small-star CC; oracle is a recursive
@@ -375,6 +378,29 @@ def er_components(spark, sf_dir):
     scores = _doc_scores(spark, sf_dir)
     matches = scores.where(F.col("score") >= ER_THRESHOLD).select("id_a", "id_b")
     comp = connected_components(matches)
+    singletons = (
+        records.select("id")
+        .join(comp.select("id"), "id", "left_anti")
+        .withColumn("cluster_id", F.col("id"))
+    )
+    return comp.unionByName(singletons)
+
+
+@query("er_components_dist", _COMPONENTS_SQL)
+def er_components_dist(spark, sf_dir):
+    """er_components with the driver union-find fast path DISABLED
+    (driver_max_edges=0): the alternating large-star/small-star loop —
+    the plan the 100x-scale story depends on (VERDICT r5 missing #3) —
+    run on the same match graph and held to the same oracle. The
+    driver path stays the right default at bench scale (~150k edges);
+    this entry pins the distributed path's correctness at sf0.01 and
+    its wall time in every BENCH round."""
+    from go_dedupe_spark.operators.components import connected_components
+
+    records = _doc_records(spark, sf_dir)
+    scores = _doc_scores(spark, sf_dir)
+    matches = scores.where(F.col("score") >= ER_THRESHOLD).select("id_a", "id_b")
+    comp = connected_components(matches, driver_max_edges=0)
     singletons = (
         records.select("id")
         .join(comp.select("id"), "id", "left_anti")

