@@ -45,6 +45,10 @@ def migrate_records(
     because the target write is an overwrite-by-content upsert via
     unionByName + dropDuplicates on id)."""
     source_dir, target_dir = Path(source_dir), Path(target_dir)
+    # heal a previous run's swap interrupted between its two renames
+    # (table stranded at <dir>.old) before reading either side
+    recover_dir(source_dir)
+    recover_dir(target_dir)
     src = spark.read.parquet(str(source_dir))
 
     moving = src.where(predicate)
@@ -161,6 +165,7 @@ def write_patches_if_changed(
     on-disk files byte-identical (the only-if-changed write guard,
     process.go:385-403). Returns the changed-row count."""
     table_dir = Path(table_dir)
+    recover_dir(table_dir)   # heal a prior interrupted swap first
     records = spark.read.parquet(str(table_dir))
     patched, _ = patch_if_changed(records, patches, key=key)
     n_changed = patched.where("_changed").count()

@@ -142,3 +142,52 @@ def test_swap_interrupted_leaves_recoverable_copy(tmp_path, monkeypatch):
     assert old.exists() and (old / "a.parquet").read_text() == "old"
     old.rename(final)                                   # documented recovery
     assert (final / "a.parquet").read_text() == "old"
+
+
+def test_recover_dir_heals_between_renames_state(tmp_path):
+    """The swap's one non-atomic window: final renamed aside, staging
+    not yet renamed in. recover_dir must restore the old copy; in any
+    other state it must change nothing."""
+    from go_dedupe_spark.plans.writeback import recover_dir
+
+    final = tmp_path / "table"
+    old = tmp_path / "table.old"
+
+    # mid-swap state: only .old exists
+    old.mkdir()
+    (old / "part-0.parquet").write_text("v1")
+    assert recover_dir(final) is True
+    assert final.exists() and not old.exists()
+    assert (final / "part-0.parquet").read_text() == "v1"
+
+    # healthy state (final exists, stale .old too): untouched
+    old.mkdir()
+    (old / "part-0.parquet").write_text("stale")
+    assert recover_dir(final) is False
+    assert (final / "part-0.parquet").read_text() == "v1"
+    assert old.exists()   # cleanup is swap_dir's job, not recover's
+
+    # nothing exists: no-op
+    import shutil
+    shutil.rmtree(final), shutil.rmtree(old)
+    assert recover_dir(final) is False
+    assert not final.exists() and not old.exists()
+
+
+def test_patch_if_changed_heals_interrupted_swap(tmp_path, spark):
+    """write_patches_if_changed on a table stranded mid-swap reads the
+    healed copy instead of failing with PATH_NOT_FOUND."""
+    from pyspark.sql import functions as F
+
+    from go_dedupe_spark.plans.writeback import write_patches_if_changed
+
+    tbl = tmp_path / "t"
+    spark.createDataFrame([("a", 1), ("b", 2)], ["id", "v"]) \
+        .write.parquet(str(tbl))
+    tbl.rename(tmp_path / "t.old")          # simulate mid-swap crash
+
+    patches = spark.createDataFrame([("a", 9)], ["id", "v"])
+    n = write_patches_if_changed(spark, tbl, patches)
+    assert n == 1
+    got = {r["id"]: r["v"] for r in spark.read.parquet(str(tbl)).collect()}
+    assert got == {"a": 9, "b": 2}

@@ -59,10 +59,14 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    import os
+
     import __spark_entry__ as entry_mod
     from go_dedupe_spark.session import get_spark
 
-    spark = get_spark("check-correctness", cores=8, shuffle_partitions=8)
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    spark = get_spark("check-correctness", cores=cores,
+                      shuffle_partitions=cores)
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
