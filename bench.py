@@ -67,16 +67,22 @@ def noise_signature(timings: dict[str, float]) -> dict:
     wall, and the max/median spread separates proportional (steal,
     spread ~1) from selective (contention or regression, spread >> 1)
     slowdowns."""
+    import statistics
+
     ratios = {q: round(timings[q] / REFERENCE[q], 3)
               for q in timings if q in REFERENCE and REFERENCE[q] > 0}
     if not ratios:
         return {"ratios": {}}
     vals = sorted(ratios.values())
-    median = vals[len(vals) // 2]
+    # true median (even-length lists average the middle pair — vals[n//2]
+    # would over-read a half-selective slowdown as proportional), plus
+    # BOTH tails so selective speedups are visible too (review r6)
+    median = statistics.median(vals)
     return {
         "ratios": ratios,
         "ratio_median": round(median, 3),
         "ratio_spread": round(max(vals) / median, 3) if median else None,
+        "ratio_min": round(min(vals), 3),
     }
 
 

@@ -367,23 +367,30 @@ SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
 """
 
 
-@query("er_components", _COMPONENTS_SQL)
-def er_components(spark, sf_dir):
-    """Stage-5 transitive clustering (fills the reference's gap C5,
-    SURVEY.md §2.9) — large-star/small-star CC; oracle is a recursive
-    min-reachability CTE."""
+def _components_entry(spark, sf_dir, **cc_kwargs):
+    """Shared body of er_components / er_components_dist — one place
+    for the records/scores/matches/singletons construction so the two
+    paths can never silently diverge (review r6)."""
     from go_dedupe_spark.operators.components import connected_components
 
     records = _doc_records(spark, sf_dir)
     scores = _doc_scores(spark, sf_dir)
     matches = scores.where(F.col("score") >= ER_THRESHOLD).select("id_a", "id_b")
-    comp = connected_components(matches)
+    comp = connected_components(matches, **cc_kwargs)
     singletons = (
         records.select("id")
         .join(comp.select("id"), "id", "left_anti")
         .withColumn("cluster_id", F.col("id"))
     )
     return comp.unionByName(singletons)
+
+
+@query("er_components", _COMPONENTS_SQL)
+def er_components(spark, sf_dir):
+    """Stage-5 transitive clustering (fills the reference's gap C5,
+    SURVEY.md §2.9) — large-star/small-star CC; oracle is a recursive
+    min-reachability CTE."""
+    return _components_entry(spark, sf_dir)
 
 
 @query("er_components_dist", _COMPONENTS_SQL)
@@ -395,18 +402,7 @@ def er_components_dist(spark, sf_dir):
     driver path stays the right default at bench scale (~150k edges);
     this entry pins the distributed path's correctness at sf0.01 and
     its wall time in every BENCH round."""
-    from go_dedupe_spark.operators.components import connected_components
-
-    records = _doc_records(spark, sf_dir)
-    scores = _doc_scores(spark, sf_dir)
-    matches = scores.where(F.col("score") >= ER_THRESHOLD).select("id_a", "id_b")
-    comp = connected_components(matches, driver_max_edges=0)
-    singletons = (
-        records.select("id")
-        .join(comp.select("id"), "id", "left_anti")
-        .withColumn("cluster_id", F.col("id"))
-    )
-    return comp.unionByName(singletons)
+    return _components_entry(spark, sf_dir, driver_max_edges=0)
 
 
 @query("er_resolution", f"""

@@ -29,6 +29,7 @@ from __future__ import annotations
 import base64
 import hashlib
 import json
+import os
 import threading
 import time
 from pathlib import Path
@@ -308,6 +309,13 @@ class CheckpointStore:
         key = self._key(stage, input_snapshot)
         persisted = self.backend.write_table(out, key)
         rows_out = persisted.count()
+        # TEST-ONLY hook: hold the table-written-but-manifest-missing
+        # window open so the crash-resume test can SIGKILL inside it
+        # deterministically instead of racing a millisecond gap
+        # (tests/test_spark_submit.py). Unset (the default) = no-op.
+        _delay = os.environ.get("SPARK_GRAFT_TEST_MANIFEST_DELAY")
+        if _delay:
+            time.sleep(float(_delay))
         wall_ms = int((time.monotonic() - t0) * 1000)
         self.backend.put_manifest(key, {
             "stage": stage,

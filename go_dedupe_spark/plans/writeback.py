@@ -86,6 +86,11 @@ def swap_dir(staging: Path, final: Path) -> None:
     import shutil
 
     staging, final = Path(staging), Path(final)
+    # self-heal first: if a PRIOR swap crashed between its renames,
+    # final.old IS the live table, not stale garbage — restoring it
+    # before the rmtree below means a caller who skips recover_dir can
+    # never destroy the sole rollback copy (review r6)
+    recover_dir(final)
     old = final.with_name(final.name + ".old")
     if old.exists():
         shutil.rmtree(old)

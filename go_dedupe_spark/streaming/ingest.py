@@ -247,6 +247,24 @@ def streaming_near_dup_pairs(
     from go_dedupe_spark.functions.similarity import word_tokens
     from go_dedupe_spark.operators.dedupe import minhash_lsh_pairs
 
+    def _tracked_ckpt(df: DataFrame, tracked: list) -> DataFrame:
+        """localCheckpoint(eager) + record the checkpoint's OWN
+        persisted JVM RDD for end-of-batch release. The checkpointed
+        frame's analyzed plan is a LogicalRDD whose .rdd() is exactly
+        the block-pinning RDD, so this releases only what THIS batch
+        created — a before/after diff of getPersistentRDDs (the r5
+        approach) would also unpersist RDDs a CONCURRENT stream or
+        batch job on the same session checkpointed mid-window, killing
+        that workload irrecoverably (review r6). If the plan shape ever
+        stops exposing .rdd(), leak (ContextCleaner frees it lazily)
+        rather than guess."""
+        out = df.localCheckpoint(eager=True)
+        try:
+            tracked.append(out._jdf.queryExecution().analyzed().rdd())
+        except Exception:  # noqa: BLE001 — leak is the safe fallback
+            pass
+        return out
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         # eager localCheckpoints pin RDD blocks in executor storage; a
@@ -255,28 +273,28 @@ def streaming_near_dup_pairs(
         # they accumulate for the stream's lifetime and batches slow
         # under storage/GC pressure. DataFrame.unpersist() is a NO-OP
         # for localCheckpoint-backed frames (the cache manager tracks
-        # only persist()-cached plans — ADVICE r5), so unpersist the
-        # underlying RDDs directly: diff the context's persistent-RDD
-        # ids around the batch and drop the new ones (the technique
-        # bench_scaling.py's warmup already uses). foreachBatch
-        # serializes batches, so the diff sees only this batch's
-        # checkpoints.
-        jsc = spark.sparkContext._jsc
-        before = set(jsc.getPersistentRDDs().keys())
+        # only persist()-cached plans — ADVICE r5), so each checkpoint
+        # site registers its underlying RDD via _tracked_ckpt and the
+        # batch releases exactly those on exit.
+        tracked: list = []
         try:
-            _process_inner(spark, batch_df, batch_id)
+            _process_inner(spark, batch_df, batch_id, tracked)
         finally:
-            for rid, rdd in jsc.getPersistentRDDs().items():
-                if rid not in before:
+            for rdd in tracked:
+                try:
                     rdd.unpersist(True)
+                except Exception:  # noqa: BLE001 — already released
+                    pass
 
-    def _process_inner(spark, batch_df: DataFrame, batch_id: int) -> None:
-        batch = batch_df.select(
-            F.col(id_col).cast("string").alias("id"),
-            F.col(text_col).alias("text"),
-            *([F.col(scope_col).cast("string").alias("_scope")]
-              if scope_col else []),
-        ).dropDuplicates(["id"]).localCheckpoint(eager=True)
+    def _process_inner(spark, batch_df: DataFrame, batch_id: int,
+                       tracked: list) -> None:
+        batch = _tracked_ckpt(
+            batch_df.select(
+                F.col(id_col).cast("string").alias("id"),
+                F.col(text_col).alias("text"),
+                *([F.col(scope_col).cast("string").alias("_scope")]
+                  if scope_col else []),
+            ).dropDuplicates(["id"]), tracked)
 
         within = minhash_lsh_pairs(
             batch, "id", "text", num_hashes=num_hashes,
@@ -411,8 +429,9 @@ def streaming_near_dup_pairs(
                     F.count("*").alias("_n_old"))
             admitted = admitted.join(occupancy, "block_key", "left") \
                 .withColumn("_r", F.col("_r") + F.coalesce("_n_old", F.lit(0)))
-        adm = admitted.where(F.col("_r") <= index_bucket_cap) \
-            .select("id", "block_key").localCheckpoint(eager=True)
+        adm = _tracked_ckpt(
+            admitted.where(F.col("_r") <= index_bucket_cap)
+            .select("id", "block_key"), tracked)
         # delta BEFORE the index append: a crash between the two writes
         # then replays with stats >= index occupancy (conservative; the
         # orphan delta's slots are wasted, the cap is never exceeded).
@@ -452,7 +471,7 @@ def streaming_near_dup_pairs(
                         .agg(F.sum("n").alias("n"),
                              F.max("batch_id").alias("batch_id"))
                     )
-                snap = cur.localCheckpoint(eager=True)  # break lineage
+                snap = _tracked_ckpt(cur, tracked)      # break lineage
                 nf = max(1, int((snap.count() / 65536) ** 0.5))
                 # crash-atomic rewrite (VERDICT r5 wrong #1): plain
                 # parquet mode("overwrite") in place is delete-then-

@@ -61,16 +61,18 @@ _DDB = duckdb.connect()
 @_settings
 @given(pairs=st.lists(st.tuples(_text, _text), min_size=1, max_size=12))
 def test_jw_batch_scalar_duckdb_identical(pairs):
-    ddb = _DDB
     """Bit-identity of the production batch vs the scalar spec vs the
     SQL oracle on arbitrary unicode pairs, batched with MIXED lengths
     (the batch path's padding/masking is exactly what per-row tests
     can't exercise)."""
+    ddb = _DDB
     a = pd.Series([p[0] for p in pairs])
     b = pd.Series([p[1] for p in pairs])
     got = _jaro_winkler_batch(a, b)
     want_scalar = np.array([_jaro_winkler(x, y) for x, y in pairs])
-    assert np.allclose(got, want_scalar, atol=0), (
+    # EXACT equality — both are float64 over the same expression order;
+    # allclose's default rtol would mask real kernel drift
+    assert (got == want_scalar).all(), (
         list(zip(pairs, got, want_scalar)))
     ddb.register("_p", pd.DataFrame(pairs, columns=["a", "b"]))
     want_sql = np.array([r[0] for r in ddb.execute(

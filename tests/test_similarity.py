@@ -58,8 +58,10 @@ def test_batch_matches_scalar(pairs):
     b = pd.Series([p[1] for p in pairs])
     got = _jaro_winkler_batch(a, b)
     want = np.array([_jaro_winkler(x, y) for x, y in pairs])
+    # exact: both float64, same expression order — bit-identity is the
+    # documented contract (np.isclose's default rtol would mask drift)
     bad = [(pairs[i], got[i], want[i])
-           for i in np.nonzero(~np.isclose(got, want, atol=0))[0][:5]]
+           for i in np.nonzero(got != want)[0][:5]]
     assert not bad, f"batch != scalar: {bad}"
 
 

@@ -146,10 +146,16 @@ def test_spark_submit_kill_mid_stage_resume(tmp_path, corpus):
     ] + base + ["--output", str(tmp_path / "out_killed")]
 
     # launch in its own process group so SIGKILL takes down the JVM
-    # and the python driver together — a real `kill -9` of the job
+    # and the python driver together — a real `kill -9` of the job.
+    # SPARK_GRAFT_TEST_MANIFEST_DELAY holds every stage's table-written-
+    # but-manifest-missing window open for 3 s, so observing (and
+    # killing inside) the mid-write state is deterministic rather than
+    # a race against a millisecond rename gap (review r6). The resumed
+    # and reference runs below run WITHOUT the delay.
+    env = {**os.environ, "SPARK_GRAFT_TEST_MANIFEST_DELAY": "3"}
     proc = subprocess.Popen(
         cmd, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-        cwd=str(tmp_path), start_new_session=True,
+        cwd=str(tmp_path), start_new_session=True, env=env,
     )
     metrics_file = ckpt / "metrics.jsonl"
 
