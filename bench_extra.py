@@ -83,6 +83,26 @@ def warm_floor(spark) -> None:
     print(json.dumps(t))
 
 
+def benchctx(spark, name: str, repeats: int) -> None:
+    """Approximate the frozen bench's context for ONE query: warm the
+    session generically (the bench's own sf0.001 warmup + two unrelated
+    sf0.1 queries), then time the target — first run is plan-cold in a
+    warm session, like the real bench; later runs show the warm floor."""
+    import __spark_entry__ as entry_mod
+
+    queries = entry_mod.queries()
+    warm_dir = str(Path(SF_DIR).parent / "sf0.001")
+    force(queries["er_scores"](spark, warm_dir))
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for w in ("dedup_embedding_cosine", "ann_topk_bruteforce"):
+        if w != name:
+            force(queries[w](spark, SF_DIR))
+    t = {}
+    timed(spark, name, lambda: queries[name](spark, SF_DIR), t,
+          repeats=repeats)
+    print(json.dumps(t))
+
+
 def main() -> None:
     from go_dedupe_spark.session import get_spark
 
@@ -93,6 +113,9 @@ def main() -> None:
         stages(spark)
     elif mode == "warm":
         warm_floor(spark)
+    elif mode == "benchctx":
+        benchctx(spark, sys.argv[2],
+                 int(sys.argv[3]) if len(sys.argv) > 3 else 2)
     elif mode == "query":
         one_query(spark, sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 3)
     else:

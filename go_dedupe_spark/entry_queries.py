@@ -236,22 +236,43 @@ def _doc_pairs(blocks: DataFrame) -> DataFrame:
 
 
 def _doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    records = _doc_records(spark, sf_dir)
-    pairs = _doc_pairs(_doc_blocks(records))
+    # Materialize the tokenized records ONCE (r7, guide §2.4/§5): the
+    # static plan recomputed the scan+tokenize+shingle subtree inside
+    # every BroadcastExchange build (pair self-join sides, mega-key
+    # sizes, x, y — 10 BroadcastHashJoins in the before-plan), and the
+    # minhash-band expression twice more for the self-join. Two
+    # localCheckpoints — records (minus the full content column; only
+    # path/shingles flow into scoring) and the exploded block rows —
+    # cut that to one evaluation each. Same policy and scale story as
+    # operators/scoring.build_features: the checkpoint is distributed
+    # executor storage, not a driver collect.
+    records = _doc_records(spark, sf_dir).drop("content") \
+        .localCheckpoint(eager=True)
+    blocks = _doc_blocks(records).localCheckpoint(eager=True)
+    pairs = _doc_pairs(blocks)
     # NO manual broadcast of the record sides: full records cannot
     # broadcast at corpus scale. Plain shuffle joins here; AQE converts
     # to broadcast at runtime when the measured side is small (the
     # sf0.01/0.1 case) — same policy as operators/scoring.py.
-    x = records.select(
+    # Per-RECORD distinct shingles + size, computed once before the
+    # pair joins (r7): the per-pair Jaccard previously ran FOUR array
+    # passes per pair (2x array_distinct + intersect + union); with the
+    # distinct array and its size precomputed on the 1-row-per-record
+    # side it is ONE array_intersect plus arithmetic — |A∪B| =
+    # |A|+|B|-|A∩B| on distinct sets, value-identical to the oracle's
+    # len(list_distinct(list_concat(..))).
+    slim = records.select(
+        "id", "path", F.array_distinct("shingles").alias("sh_d"),
+    ).withColumn("n_d", F.size("sh_d"))
+    x = slim.select(
         F.col("id").alias("id_a"), F.col("path").alias("path_a"),
-        F.col("shingles").alias("sh_a"))
-    y = records.select(
+        F.col("sh_d").alias("sh_a"), F.col("n_d").alias("n_a"))
+    y = slim.select(
         F.col("id").alias("id_b"), F.col("path").alias("path_b"),
-        F.col("shingles").alias("sh_b"))
+        F.col("sh_d").alias("sh_b"), F.col("n_d").alias("n_b"))
     jw = jaro_winkler_udf(F.col("path_a"), F.col("path_b"))
-    inter = F.size(F.array_intersect(F.array_distinct("sh_a"),
-                                     F.array_distinct("sh_b")))
-    union = F.size(F.array_union("sh_a", "sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.col("n_a") + F.col("n_b") - inter
     jac = inter * F.lit(1.0) / union
     # repartition before the per-pair UDF + array scoring: AQE coalesces
     # the small pair shuffle to ~1 partition and would single-thread it

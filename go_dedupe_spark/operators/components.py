@@ -63,8 +63,14 @@ def connected_components(
     """
     spark = edges.sparkSession
     if checkpoint_fn is None:
+        # Lazy checkpoint (r7): the _edge_stats aggregate that always
+        # follows is the action that materializes it, merging what used
+        # to be two jobs per iteration (eager checkpoint + stats) into
+        # one. The stats job is single-subtree, so the RDD is fully
+        # persisted before any multi-use job (the star self-joins of
+        # the NEXT iteration) can race to compute it twice.
         def checkpoint_fn(df: DataFrame, _i: int) -> DataFrame:
-            return df.localCheckpoint(eager=True)
+            return df.localCheckpoint(eager=False)
 
     # canonical undirected edge set, self-loops dropped
     e = (
@@ -104,6 +110,18 @@ def connected_components(
     cp_key = "spark.sql.constraintPropagation.enabled"
     old_cp = spark.conf.get(cp_key)
     spark.conf.set(cp_key, "false")
+    # AQE is scope-disabled only while the loop's shuffles are SMALL
+    # (same edge-count heuristic that sizes loop_partitions): each tiny
+    # star/dedup/stats stage otherwise pays a driver re-planning round,
+    # and coalescing/skew-splitting have nothing to do at a few
+    # partitions. On a big graph (loop_partitions at the conf ceiling)
+    # AQE stays on — hub-node skew in the star joins is exactly what
+    # its skew-join splitting is for. Scale-adaptive, not a local-mode
+    # constant: the gate is the measured edge count.
+    aqe_key = "spark.sql.adaptive.enabled"
+    old_aqe = spark.conf.get(aqe_key)
+    if loop_partitions < int(old_partitions):
+        spark.conf.set(aqe_key, "false")
     try:
         for i in range(max_iter):
             e2 = _small_star(_large_star(e))
@@ -121,6 +139,7 @@ def connected_components(
     finally:
         spark.conf.set(conf_key, old_partitions)
         spark.conf.set(cp_key, old_cp)
+        spark.conf.set(aqe_key, old_aqe)
 
     # after convergence every v points at its component min u
     comp = e.select(F.col("v").alias("id"), F.col("u").alias("cluster_id"))
@@ -143,12 +162,30 @@ def _edge_stats(e: DataFrame) -> dict:
 
 
 def _driver_union_find(spark, e: DataFrame) -> DataFrame:
-    """Exact local union-find over a collected small edge list."""
-    pairs = [(r["u"], r["v"]) for r in e.collect()]
-    parent: dict = {}
+    """Exact local union-find over a collected small edge list.
 
-    def find(x):
-        parent.setdefault(x, x)
+    r7: Arrow on both driver crossings — ``toPandas`` instead of a
+    row-based ``collect`` (the Arrow batch path is ~10x cheaper near
+    the 1M-edge threshold) and ``createDataFrame(pandas)`` back. The
+    union-find itself runs over ``pd.factorize`` integer codes, not id
+    strings; the canonical min-id root is recovered with a groupby-min
+    afterwards, so output is unchanged (cluster_id = min id)."""
+    import pandas as pd
+
+    schema = "id string, cluster_id string"
+    field = e.schema["u"].dataType.simpleString()
+    if field != "string":
+        schema = f"id {field}, cluster_id {field}"
+
+    pdf = e.toPandas()
+    if len(pdf) == 0:
+        return spark.createDataFrame([], schema)
+    codes, uniques = pd.factorize(
+        pd.concat([pdf["u"], pdf["v"]], ignore_index=True))
+    n_edges = len(pdf)
+    parent = list(range(len(uniques)))
+
+    def find(x: int) -> int:
         root = x
         while parent[root] != root:
             root = parent[root]
@@ -156,25 +193,14 @@ def _driver_union_find(spark, e: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for u, v in pairs:
-        ru, rv = find(u), find(v)
-        if ru != rv:
-            if rv < ru:
-                ru, rv = rv, ru
-            parent[rv] = ru
-    # canonical root = min id per component
-    members: dict = {}
-    for x in list(parent):
-        members.setdefault(find(x), []).append(x)
-    rows = []
-    for root, ms in members.items():
-        cid = min(ms)
-        rows.extend((m, cid) for m in ms)
-    schema = "id string, cluster_id string"
-    field = e.schema["u"].dataType.simpleString()
-    if field != "string":
-        schema = f"id {field}, cluster_id {field}"
-    return spark.createDataFrame(rows or [], schema)
+    for a, b in zip(codes[:n_edges].tolist(), codes[n_edges:].tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra          # arbitrary union; min-id fixed below
+    roots = [find(i) for i in range(len(uniques))]
+    out = pd.DataFrame({"id": uniques, "root": roots})
+    out["cluster_id"] = out.groupby("root")["id"].transform("min")
+    return spark.createDataFrame(out[["id", "cluster_id"]], schema)
 
 
 def _neighborhoods(e: DataFrame) -> DataFrame:

@@ -227,16 +227,28 @@ def ngram_jaccard_pairs(
         F.array_distinct(F.transform(raw, token_hash64))
         if hash_grams else F.array_distinct(raw)
     )
-    grams = df.select(F.col(id_col).alias("id"), gram_expr.alias("grams"))
+    # Materialize the gram table once (r7, guide §2.4): it feeds BOTH
+    # join sides, and each side's exchange/broadcast build would
+    # otherwise re-run the n-gram md5 hashing over the full corpus
+    # (~n_chars md5 calls per doc). Same distributed-materialization
+    # policy as scoring.build_features. The per-doc distinct gram COUNT
+    # is computed here too, so the per-pair union can be the identity
+    # |A∪B| = |A|+|B|-|A∩B| instead of materializing a union array per
+    # pair (both gram arrays are distinct, so the identity is exact).
+    grams = df.select(F.col(id_col).alias("id"), gram_expr.alias("grams")) \
+        .withColumn("n_grams", F.size("grams")) \
+        .localCheckpoint(eager=True)
     # NO manual broadcast of the gram table: the full per-doc gram
     # dimension cannot broadcast at corpus scale. Shuffle joins by
     # default; AQE converts to broadcast at runtime when the gram table
     # is measured under autoBroadcastJoinThreshold (the sf0.01/0.1 case)
     # — the same conditional policy as scoring.score_pairs.
-    a = grams.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a"))
-    b = grams.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b"))
+    a = grams.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a"),
+                     F.col("n_grams").alias("n_a"))
+    b = grams.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b"),
+                     F.col("n_grams").alias("n_b"))
     inter = F.size(F.array_intersect("grams_a", "grams_b"))
-    union = F.size(F.array_union("grams_a", "grams_b"))
+    union = F.col("n_a") + F.col("n_b") - inter
     jac = F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
     # explicit repartition on BOTH pair ids before the CPU-heavy array
     # ops: AQE coalesces the candidate shuffle by SIZE (a few MB -> ~1

@@ -104,23 +104,26 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id",
     deterministic rolling-hash winnowing-lite) plus distinct-shingle
     count — enough to detect containment/overlap candidates cheaply.
 
-    Shape notes (both matter ~10x each):
+    Shape notes:
     - tokens are materialized as a COLUMN before shingling: an inline
       tokenizer expression inside the shingle transform() lambda would
       be re-evaluated once PER ARRAY ELEMENT (regexp split x ~50/row);
-    - explode -> md5 -> groupBy(agg) instead of one nested array
-      expression, so each shingle hash computes exactly once and
-      map-side partial aggregation keeps the shuffle tiny."""
+    - map-only (r7): array_min / array_max / size over the hashed
+      distinct-shingle array replace the earlier explode -> groupBy
+      round trip — whole-stage codegen's subexpression elimination
+      evaluates the shared hashed array ONCE per row, and the shuffle
+      of one md5 row per (doc, shingle) disappears outright (guide
+      §2.4). Every doc emits >= 1 shingle (short docs collapse to one
+      whole-array shingle), so no group can vanish."""
     toked = df.select(
         F.col(id_col).alias("id"),
         word_tokens(F.col(text_col)).alias("toks"),
     )
     sh = token_shingles(F.col("toks"), n=shingle_n)
-    exploded = toked.select(
-        "id", F.explode(F.array_distinct(sh)).alias("shingle")
-    ).select("id", F.md5("shingle").alias("h"))
-    return exploded.groupBy("id").agg(
-        F.min("h").alias("fp_min"),
-        F.max("h").alias("fp_max"),
-        F.count("*").alias("n_shingles"),
+    hashed = F.transform(F.array_distinct(sh), lambda s: F.md5(s))
+    return toked.select(
+        "id",
+        F.array_min(hashed).alias("fp_min"),
+        F.array_max(hashed).alias("fp_max"),
+        F.size(hashed).cast("long").alias("n_shingles"),
     )
