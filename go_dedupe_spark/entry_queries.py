@@ -56,7 +56,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # shuffle) restores full parallelism; the explicit number keeps
         # AQE from coalescing it back. On a real corpus the scan has
         # thousands of splits and this is a no-op decision.
-        df = df.repartition(spark.sparkContext.defaultParallelism)
+        # r7: HASH-partition on the id column instead of round-robin —
+        # (a) round-robin pays a local sort of every row before the
+        # exchange (spark.sql.execution.sortBeforeRepartition, guide
+        # §2.5); hash does not; (b) HashPartitioning(id) satisfies the
+        # ClusteredDistribution of every downstream per-id aggregation
+        # and window (simhash vote groupBy(id, n), IVF assignment
+        # Window.partitionBy(item_id)), removing those exchanges
+        # outright. Ids are unique, so the spread is binomial-uniform —
+        # no skew possible.
+        key = "doc_id" if name == "documents" else "vec_id"
+        df = df.repartition(spark.sparkContext.defaultParallelism, key)
     return df
 
 
@@ -274,11 +284,14 @@ def _doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.col("n_a") + F.col("n_b") - inter
     jac = inter * F.lit(1.0) / union
-    # repartition before the per-pair UDF + array scoring: AQE coalesces
-    # the small pair shuffle to ~1 partition and would single-thread it
-    par = spark.sparkContext.defaultParallelism
+    # r7: no explicit pair repartition — candidate_pairs ends in a
+    # dropDuplicates exchange on (id_a, id_b) and AQE's coalescer
+    # (parallelismFirst, 1 MB min partition) keeps the UDF+array stage
+    # wide: per-partition work is bounded at ~1 MB of pairs at every
+    # scale. The old repartition was a full extra exchange of the pair
+    # set (A/B at sf0.1: 3.0-4.2s -> 2.7-2.9s warm).
     return (
-        pairs.repartition(par, "id_a", "id_b")
+        pairs
         .join(x, "id_a").join(y, "id_b")
         .select(
             "id_a", "id_b",
@@ -1126,9 +1139,21 @@ ORDER BY revenue DESC, o_orderkey
 LIMIT 10
 """)
 def join_revenue_top10(spark, sf_dir):
-    """Join + agg + global top-k (ancestor O2 biggest-first ordering)."""
+    """Join + agg + global top-k (ancestor O2 biggest-first ordering).
+
+    r7: lineitem is hash-repartitioned on the join key — the sf tables
+    are single-row-group parquet (one unsplittable input task), so the
+    broadcast join + per-row date_format + partial aggregation all ran
+    single-threaded. Partitioning by l_orderkey parallelizes them AND,
+    via the join's key equivalence (l_orderkey = o_orderkey), satisfies
+    the groupBy distribution so no second exchange is added (measured
+    A/B: 0.95-8.3s -> 0.5-1.8s; the same repartition HURT the lighter
+    agg_pricing_summary, so it stays per-query, not in _t). On a real
+    multi-split corpus the scan is already parallel and this shuffle is
+    the one the aggregation would pay anyway."""
     o = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem").repartition(
+        spark.sparkContext.defaultParallelism, "l_orderkey")
     return (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"))

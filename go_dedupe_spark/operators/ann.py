@@ -199,10 +199,7 @@ def train_ivf_centroids(
             proj = proj.where(
                 F.md5(F.col("item_id").cast("string")) < F.lit(cutoff))
             sampled = True
-    # lazy: the first action over it (the sampled count, or the init
-    # orderBy — both single-subtree full passes) materializes the
-    # checkpoint, saving a dedicated job (r7)
-    it = proj.localCheckpoint(eager=False)
+    it = proj.localCheckpoint(eager=True)
     if sampled:
         n_sampled = it.count()            # count once, on the
         if n_sampled < k:                 # materialized checkpoint
@@ -218,84 +215,37 @@ def train_ivf_centroids(
         .limit(k)
         .select(F.col("_r").alias("cid"), F.col("ivec").alias("cvec"))
     )
-    # r7: centroids live on the DRIVER between iterations — k rows of
-    # dim doubles, bounded by construction (the same boundedness
-    # argument that justifies broadcasting them). Collecting them and
-    # re-emitting a LocalRelation replaces the per-iteration
-    # localCheckpoint job + BroadcastExchange build (two extra jobs per
-    # Lloyd iteration) with one collect that IS the iteration's only
-    # job. Python floats are exact doubles, so round-tripping through
-    # the driver is value-identical.
-    # r7: centroids live on the DRIVER between iterations — k rows of
-    # dim doubles, bounded by construction (the same boundedness
-    # argument that justifies broadcasting them). Each Lloyd iteration
-    # is then ONE job of two stages:
-    #   - assignment is a column expression over a one-row broadcast
-    #     carrying the centroids as DATA (array of structs): the
-    #     per-item argmax — max rounded cosine, min-cid tie-break,
-    #     exactly row_number() OVER (ORDER BY ccos DESC, cid) = 1 — is
-    #     min of struct(-cc, cid). No k-row crossJoin, no window
-    #     shuffle by item_id, and (unlike an earlier literal-embedding
-    #     variant that recompiled ~dim*k literals per iteration) the
-    #     generated code is identical across iterations.
-    #   - the element-wise mean keeps the posexplode ->
-    #     groupBy(cid,pos) -> regroup shape: an experiment with ONE
-    #     groupBy(cid) carrying dim avg aggregates was faster warm but
-    #     its dim-wide codegen unit cost seconds of one-time compile —
-    #     worse for a run-once query (measured 11.1s vs 3.5s bench).
-    # AQE is scope-disabled for the loop: its only shuffles carry k x
-    # dim aggregate state — bounded by construction at ANY corpus size
-    # — so runtime re-planning buys nothing and costs a driver round
-    # per tiny stage. The corpus-sized assignment scan is map-only and
-    # unaffected. Shuffle width is scoped to the k-row aggregate.
-    spark = items.sparkSession
-    c_schema = "cid string, cvec array<double>"
-    cs_schema = "cs array<struct<cid:string,cvec:array<double>>>"
-    c_rows = [(r["cid"], r["cvec"]) for r in init.collect()]
-    if not c_rows:
-        return spark.createDataFrame([], c_schema) \
-            .select("cid", F.col("cvec").alias(vec_col))
-    aqe_key = "spark.sql.adaptive.enabled"
-    part_key = "spark.sql.shuffle.partitions"
-    old_aqe, old_parts = spark.conf.get(aqe_key), spark.conf.get(part_key)
-    spark.conf.set(aqe_key, "false")
-    spark.conf.set(part_key, str(max(1, min(int(old_parts), 2 * k))))
-    try:
-        for _ in range(iters):
-            crow = F.broadcast(spark.createDataFrame([(c_rows,)], cs_schema))
-            best_cid = F.array_min(F.transform(
-                F.col("cs"),
-                lambda c: F.struct(
-                    (-F.round(cosine_expr(F.col("ivec"), c["cvec"]), 6))
-                    .alias("nc"),
-                    c["cid"].alias("cid"),
-                ),
-            )).getField("cid")
-            assigned = it.crossJoin(crow).select(best_cid.alias("cid"), "ivec")
-            sums = (
-                assigned.select("cid", F.posexplode("ivec").alias("pos", "val"))
-                .groupBy("cid", "pos")
-                .agg(F.avg("val").alias("m"))
-            )
-            mean = (
-                sums.groupBy("cid")
-                .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-                .select("cid", F.transform("pm", lambda s: s["m"]).alias("mv"))
-            )
-            norm = F.sqrt(F.aggregate(F.transform("mv", lambda x: x * x),
-                                      F.lit(0.0), lambda a, x: a + x))
-            nxt = mean.select(
-                "cid",
-                F.when(norm > 0,
-                       F.transform("mv", lambda x: F.round(x / norm, 6)))
-                 .otherwise(F.col("mv")).alias("cvec"),
-            )
-            c_rows = [(r["cid"], r["cvec"]) for r in nxt.collect()]
-    finally:
-        spark.conf.set(aqe_key, old_aqe)
-        spark.conf.set(part_key, old_parts)
-    return spark.createDataFrame(c_rows, c_schema) \
-        .select("cid", F.col("cvec").alias(vec_col))
+    c = init.localCheckpoint(eager=True)
+    w_assign = Window.partitionBy("item_id").orderBy(F.desc("ccos"),
+                                                     F.col("cid"))
+    for _ in range(iters):
+        assigned = (
+            it.crossJoin(F.broadcast(c))
+            .select("item_id", "ivec", "cid",
+                    F.round(cosine_expr("ivec", "cvec"), 6).alias("ccos"))
+            .withColumn("_rk", F.row_number().over(w_assign))
+            .where(F.col("_rk") == 1)
+            .select("cid", "ivec")
+        )
+        sums = (
+            assigned.select("cid", F.posexplode("ivec").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("val").alias("m"))
+        )
+        mean = (
+            sums.groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cid", F.transform("pm", lambda s: s["m"]).alias("mv"))
+        )
+        norm = F.sqrt(F.aggregate(F.transform("mv", lambda x: x * x),
+                                  F.lit(0.0), lambda a, x: a + x))
+        c = mean.select(
+            "cid",
+            F.when(norm > 0,
+                   F.transform("mv", lambda x: F.round(x / norm, 6)))
+             .otherwise(F.col("mv")).alias("cvec"),
+        ).localCheckpoint(eager=True)
+    return c.select("cid", F.col("cvec").alias(vec_col))
 
 
 # ------------------------------------------------ compression variants

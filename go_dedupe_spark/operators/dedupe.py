@@ -53,6 +53,7 @@ def minhash_lsh_pairs(
     scope_col: str | None = None,
     max_block: int = 100,
     salt_cap: int = 40,
+    checkpoint_fn=None,
 ) -> DataFrame:
     """Candidate near-dup pairs via MinHash banding over word tokens:
     shingle -> minhash -> band -> SKEW-CAPPED bucket self-join. Returns
@@ -79,7 +80,20 @@ def minhash_lsh_pairs(
         ).select("id", F.concat(F.col("_scope"), F.lit(":"), F.col("k0")).alias("block_key"))
     else:
         keyed = toked.select(F.col("id"), F.explode(keys).alias("block_key"))
-    keyed = salted_rekey(keyed, max_block=max_block, salt_cap=salt_cap)
+    # materialize the salted keyed table once (r7): the self-join's two
+    # sides otherwise EACH recompute tokenize + minhash + explode +
+    # rekey (the broadcast build side re-runs the full subtree). One
+    # (id, block_key) row per band membership — a bands-x-corpus-rows
+    # table of short rows, distributed executor storage.
+    # ``checkpoint_fn`` is the lifecycle seam: long-lived callers (the
+    # streaming per-batch path) inject a TRACKED checkpoint so the
+    # pinned RDD is released at end of batch; the default suits
+    # run-once queries (the session's ContextCleaner frees it on GC).
+    if checkpoint_fn is None:
+        def checkpoint_fn(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+    keyed = checkpoint_fn(
+        salted_rekey(keyed, max_block=max_block, salt_cap=salt_cap))
     a, b = keyed.alias("a"), keyed.alias("b")
     return (
         a.join(b, (F.col("a.block_key") == F.col("b.block_key"))
@@ -148,6 +162,7 @@ def simhash_hamming_pairs(
     max_hamming: int = 8,
     max_block: int = 100,
     salt_cap: int = 40,
+    checkpoint_fn=None,
 ) -> DataFrame:
     """Near-duplicate pairs via wide SimHash + banded Hamming join —
     the standard large-corpus near-dedup (Manku et al., WWW'07 shape):
@@ -179,7 +194,16 @@ def simhash_hamming_pairs(
         for i in range(bands)
     ])
     keyed = sim.select("id", "simhash", F.explode(band_keys).alias("block_key"))
-    keyed = salted_rekey(keyed, max_block=max_block, salt_cap=salt_cap)
+    # materialize once (r7): both self-join sides otherwise recompute
+    # the simhash vote aggregation + banding + rekey — the single most
+    # expensive subtree of this operator. checkpoint_fn is the same
+    # lifecycle seam as minhash_lsh_pairs (streaming callers inject a
+    # tracked checkpoint).
+    if checkpoint_fn is None:
+        def checkpoint_fn(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+    keyed = checkpoint_fn(
+        salted_rekey(keyed, max_block=max_block, salt_cap=salt_cap))
     a = keyed.select(F.col("id").alias("id_a"),
                      F.col("simhash").alias("sim_a"), "block_key")
     b = keyed.select(F.col("id").alias("id_b"),
@@ -208,6 +232,7 @@ def ngram_jaccard_pairs(
     n: int = 5,
     threshold: float = 0.5,
     hash_grams: bool = True,
+    checkpoint_fn=None,
 ) -> DataFrame:
     """Exact char-n-gram Jaccard on candidate pairs (distinct grams).
     candidate_pairs: (id_a, id_b). Native array_intersect/union.
@@ -235,9 +260,12 @@ def ngram_jaccard_pairs(
     # is computed here too, so the per-pair union can be the identity
     # |A∪B| = |A|+|B|-|A∩B| instead of materializing a union array per
     # pair (both gram arrays are distinct, so the identity is exact).
-    grams = df.select(F.col(id_col).alias("id"), gram_expr.alias("grams")) \
-        .withColumn("n_grams", F.size("grams")) \
-        .localCheckpoint(eager=True)
+    if checkpoint_fn is None:
+        def checkpoint_fn(d: DataFrame) -> DataFrame:
+            return d.localCheckpoint(eager=True)
+    grams = checkpoint_fn(
+        df.select(F.col(id_col).alias("id"), gram_expr.alias("grams"))
+        .withColumn("n_grams", F.size("grams")))
     # NO manual broadcast of the gram table: the full per-doc gram
     # dimension cannot broadcast at corpus scale. Shuffle joins by
     # default; AQE converts to broadcast at runtime when the gram table
@@ -251,9 +279,14 @@ def ngram_jaccard_pairs(
     union = F.col("n_a") + F.col("n_b") - inter
     jac = F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
     # explicit repartition on BOTH pair ids before the CPU-heavy array
-    # ops: AQE coalesces the candidate shuffle by SIZE (a few MB -> ~1
-    # partition) and would serialize the scoring onto one core; keying
-    # on id_a alone can skew when one record dominates the pair set
+    # ops, KEPT after an r7 removal attempt: a pair row here is two
+    # bare ids (~16 B) while its jaccard costs ~2x n_grams array-hash
+    # ops — the most CPU-per-byte stage in the suite. AQE's size-based
+    # coalescer sees the ~3 MB pair shuffle and folds it to a handful
+    # of partitions, serializing that CPU (measured: removing this
+    # repartition took the query from ~3.4s to ~13s at sf0.1 once the
+    # gram/keyed tables were materialized). Keying on both ids; id_a
+    # alone can skew when one record dominates the pair set.
     par = candidate_pairs.sparkSession.sparkContext.defaultParallelism
     return (
         candidate_pairs.repartition(par, "id_a", "id_b")

@@ -309,6 +309,9 @@ class CheckpointStore:
         key = self._key(stage, input_snapshot)
         persisted = self.backend.write_table(out, key)
         rows_out = persisted.count()
+        # wall_ms is computed BEFORE the test-only delay hook below so
+        # the hook never inflates stage timings (ADVICE r6).
+        wall_ms = int((time.monotonic() - t0) * 1000)
         # TEST-ONLY hook: hold the table-written-but-manifest-missing
         # window open so the crash-resume test can SIGKILL inside it
         # deterministically instead of racing a millisecond gap
@@ -316,7 +319,6 @@ class CheckpointStore:
         _delay = os.environ.get("SPARK_GRAFT_TEST_MANIFEST_DELAY")
         if _delay:
             time.sleep(float(_delay))
-        wall_ms = int((time.monotonic() - t0) * 1000)
         self.backend.put_manifest(key, {
             "stage": stage,
             "input_snapshot": input_snapshot,

@@ -299,7 +299,11 @@ def streaming_near_dup_pairs(
         within = minhash_lsh_pairs(
             batch, "id", "text", num_hashes=num_hashes,
             band_rows=band_rows, max_block=max_block, salt_cap=salt_cap,
-            scope_col="_scope" if scope_col else None)
+            scope_col="_scope" if scope_col else None,
+            # the operator materializes its keyed table (r7); route
+            # that through the tracked checkpoint so this batch's
+            # pinned RDD is released on exit like every other one
+            checkpoint_fn=lambda df: _tracked_ckpt(df, tracked))
 
         keys = minhash_band_keys(
             word_tokens(F.col("text")), num_hashes=num_hashes,
@@ -387,8 +391,17 @@ def streaming_near_dup_pairs(
                 # exact unbounded-bucket drift the table exists to
                 # prevent. Re-seed from the full index. One scalar
                 # collect per batch over the small stats table.
+                # max_b > batch_id is the checkpoint-RESET signature
+                # (ADVICE r6): a restarted stream over a kept stats_dir
+                # re-numbers batches from 0, so the old per-batch
+                # deltas belong to batches this stream never counted —
+                # replay-dedup's max(n)-per-(key,batch) would silently
+                # under-count occupancy. Detectable in this same scalar
+                # collect; the replacing re-seed self-heals in one
+                # batch.
                 max_b = stats.agg(F.max("batch_id")).first()[0]
-                if max_b is None or max_b < batch_id - 1:
+                if max_b is None or max_b < batch_id - 1 \
+                        or max_b > batch_id:
                     need_seed = True
             if need_seed:
                 # seed (or RE-seed) the running table with the full

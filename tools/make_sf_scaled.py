@@ -28,6 +28,13 @@ def scale(src: str, dst: str, factor: int) -> None:
 
     docs = pd.read_parquet(Path(src) / "documents.parquet")
     n = len(docs)
+    # replica remap doc_id + r*n*10 assumes every source id < 10*n;
+    # assert it so other inputs fail loudly instead of silently
+    # colliding replica ids (ADVICE r6)
+    if n and int(docs["doc_id"].max()) >= 10 * n:
+        raise ValueError(
+            f"make_sf_scaled: max(doc_id)={docs['doc_id'].max()} >= "
+            f"10*n={10 * n}; replica remap would collide ids")
     reps = []
     for r in range(factor):
         d = docs.copy()
@@ -41,6 +48,10 @@ def scale(src: str, dst: str, factor: int) -> None:
     emb = pd.read_parquet(Path(src) / "embeddings.parquet")
     m = len(emb)
     id_col = "vec_id" if "vec_id" in emb.columns else emb.columns[0]
+    if m and int(emb[id_col].max()) >= 10 * m:
+        raise ValueError(
+            f"make_sf_scaled: max({id_col})={emb[id_col].max()} >= "
+            f"10*m={10 * m}; replica remap would collide ids")
     reps = []
     for r in range(factor):
         e = emb.copy()
