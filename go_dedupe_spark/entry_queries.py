@@ -77,6 +77,15 @@ CMH_NH, CMH_R = 9, 3        # 3-token-shingle MinHash: 3 bands x 3 rows
 SHA_PREFIX = 12
 ER_W_JW, ER_W_JAC = 0.3, 0.7
 ER_THRESHOLD = 0.31
+# Broadcast the per-record scoring sides of the pair joins only while
+# the record table is measurably small (~1 KB/record -> <=200 MB
+# broadcast). The decision reads the COUNT of the already-materialized
+# checkpoint (one cheap job), not a planner estimate: localCheckpointed
+# tables carry no size statistics, and at sf1 the planner fell back to
+# sort-merge joins that shuffled the pair table WITH its attached
+# shingle payload (~1 GB) — 48s vs 29s for er_scores. Above the bound
+# the joins stay shuffle joins, the only plan possible at corpus scale.
+ER_BROADCAST_MAX_RECORDS = 200_000
 # Mega-block salting (the documents corpus has a genuine dense block:
 # a ~30-word shared vocabulary puts ~20% of each language in one
 # unigram-MinHash bucket — the analog of a dense downtown geohash).
@@ -260,10 +269,6 @@ def _doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     blocks = _doc_blocks(records).localCheckpoint(eager=True)
     pairs = _doc_pairs(blocks)
-    # NO manual broadcast of the record sides: full records cannot
-    # broadcast at corpus scale. Plain shuffle joins here; AQE converts
-    # to broadcast at runtime when the measured side is small (the
-    # sf0.01/0.1 case) — same policy as operators/scoring.py.
     # Per-RECORD distinct shingles + size, computed once before the
     # pair joins (r7): the per-pair Jaccard previously ran FOUR array
     # passes per pair (2x array_distinct + intersect + union); with the
@@ -274,12 +279,19 @@ def _doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     slim = records.select(
         "id", "path", F.array_distinct("shingles").alias("sh_d"),
     ).withColumn("n_d", F.size("sh_d"))
-    x = slim.select(
+    # Data-adaptive broadcast of the record sides (see
+    # ER_BROADCAST_MAX_RECORDS): counting the materialized checkpoint
+    # replaces the planner's statistics, which a LogicalRDD does not
+    # have. Above the bound: plain shuffle joins — the only plan
+    # possible at corpus scale.
+    hint = (F.broadcast if records.count() <= ER_BROADCAST_MAX_RECORDS
+            else (lambda df: df))
+    x = hint(slim.select(
         F.col("id").alias("id_a"), F.col("path").alias("path_a"),
-        F.col("sh_d").alias("sh_a"), F.col("n_d").alias("n_a"))
-    y = slim.select(
+        F.col("sh_d").alias("sh_a"), F.col("n_d").alias("n_a")))
+    y = hint(slim.select(
         F.col("id").alias("id_b"), F.col("path").alias("path_b"),
-        F.col("sh_d").alias("sh_b"), F.col("n_d").alias("n_b"))
+        F.col("sh_d").alias("sh_b"), F.col("n_d").alias("n_b")))
     jw = jaro_winkler_udf(F.col("path_a"), F.col("path_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.col("n_a") + F.col("n_b") - inter
