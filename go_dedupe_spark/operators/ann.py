@@ -29,7 +29,11 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import LongType
 from pyspark.sql.window import Window
 
-from go_dedupe_spark.operators.dedupe import cosine_expr
+from go_dedupe_spark.operators.dedupe import (
+    cosine_expr,
+    cosine_from_norms,
+    vec_norm_expr,
+)
 
 
 def cosine_topk_bruteforce(
@@ -46,16 +50,23 @@ def cosine_topk_bruteforce(
     the plan is one scan of ``items`` regardless of |Q|; ties broken by
     item id for determinism (ancestor: ORDER BY distance LIMIT k,
     vector/sqlite.go:391)."""
+    # per-SIDE norms (r7): hoisted out of the pairwise cosine so the
+    # |Q| x |N| scoring does one array pass per pair, not three —
+    # bit-identical values (cosine_from_norms doc)
     q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("qvec"))
+                       F.col(vec_col).alias("qvec"),
+                       vec_norm_expr(vec_col).alias("qn"))
     it = items.select(F.col(id_col).alias("item_id"),
-                      F.col(vec_col).alias("ivec"))
+                      F.col(vec_col).alias("ivec"),
+                      vec_norm_expr(vec_col).alias("inorm"))
     joined = it.crossJoin(F.broadcast(q))
     if exclude_self:
         joined = joined.where(F.col("query_id") != F.col("item_id"))
     scored = joined.select(
         "query_id", "item_id",
-        F.round(cosine_expr("qvec", "ivec"), 6).alias("cosine"),
+        F.round(cosine_from_norms(F.col("qvec"), F.col("ivec"),
+                                  F.col("qn"), F.col("inorm")),
+                6).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("item_id"))
     return (
@@ -90,37 +101,50 @@ def cosine_topk_ivf(
     tie-breaks, so assignment and results are bit-reproducible in the
     DuckDB oracle."""
     cid = centroid_id_col or id_col
+    # per-SIDE norms (r7): the N x C assignment is the dominant cost of
+    # this operator; hoisting both norms out of the pairwise cosine
+    # cuts it from 3 interpreted array passes per (item, centroid) to 1
+    # — bit-identical values (cosine_from_norms doc)
     c = centroids.select(F.col(cid).alias("cid"),
-                         F.col(vec_col).alias("cvec"))
+                         F.col(vec_col).alias("cvec"),
+                         vec_norm_expr(vec_col).alias("cn"))
     it = items.select(F.col(id_col).alias("item_id"),
-                      F.col(vec_col).alias("ivec"))
+                      F.col(vec_col).alias("ivec"),
+                      vec_norm_expr(vec_col).alias("inorm"))
     w_assign = Window.partitionBy("item_id").orderBy(F.desc("ccos"),
                                                      F.col("cid"))
     assigned = (
         it.crossJoin(F.broadcast(c))
-        .select("item_id", "ivec", "cid",
-                F.round(cosine_expr("ivec", "cvec"), 6).alias("ccos"))
+        .select("item_id", "ivec", "inorm", "cid",
+                F.round(cosine_from_norms(F.col("ivec"), F.col("cvec"),
+                                          F.col("inorm"), F.col("cn")),
+                        6).alias("ccos"))
         .withColumn("_r", F.row_number().over(w_assign))
         .where(F.col("_r") == 1)
-        .select("item_id", "ivec", "cid")
+        .select("item_id", "ivec", "inorm", "cid")
     )
     q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("qvec"))
+                       F.col(vec_col).alias("qvec"),
+                       vec_norm_expr(vec_col).alias("qn"))
     w_probe = Window.partitionBy("query_id").orderBy(F.desc("qcos"),
                                                      F.col("cid"))
     probes = (
         q.crossJoin(F.broadcast(c))
-        .select("query_id", "qvec", "cid",
-                F.round(cosine_expr("qvec", "cvec"), 6).alias("qcos"))
+        .select("query_id", "qvec", "qn", "cid",
+                F.round(cosine_from_norms(F.col("qvec"), F.col("cvec"),
+                                          F.col("qn"), F.col("cn")),
+                        6).alias("qcos"))
         .withColumn("_r", F.row_number().over(w_probe))
         .where(F.col("_r") <= nprobe)
-        .select("query_id", "qvec", "cid")
+        .select("query_id", "qvec", "qn", "cid")
     )
     joined = assigned.join(probes, "cid") \
         .where(F.col("query_id") != F.col("item_id"))
     scored = joined.select(
         "query_id", "item_id",
-        F.round(cosine_expr("qvec", "ivec"), 6).alias("cosine"),
+        F.round(cosine_from_norms(F.col("qvec"), F.col("ivec"),
+                                  F.col("qn"), F.col("inorm")),
+                6).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
                                                F.col("item_id"))
@@ -362,11 +386,14 @@ def cosine_topk_lsh(
     carries one row per item). Returns the brute-force schema
     (query_id, item_id, cosine, rank)."""
     bucketer = make_srp_bucketer(dim, n_bits)
+    # per-SIDE norms hoisted out of the within-bucket cosine (r7)
     it = items.select(F.col(id_col).alias("item_id"),
                       F.col(vec_col).alias("ivec"),
+                      vec_norm_expr(vec_col).alias("inorm"),
                       bucketer(F.col(vec_col)).alias("bucket"))
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("qvec"),
+                       vec_norm_expr(vec_col).alias("qn"),
                        bucketer(F.col(vec_col)).alias("bucket"))
     if multiprobe:
         # probe keys: exact bucket + flip of each single bit. Distinct
@@ -377,11 +404,14 @@ def cosine_topk_lsh(
             *[F.col("bucket").bitwiseXOR(F.lit(1 << b).cast("long"))
               for b in range(n_bits)],
         )
-        q = q.select("query_id", "qvec", F.explode(probes).alias("bucket"))
+        q = q.select("query_id", "qvec", "qn",
+                     F.explode(probes).alias("bucket"))
     joined = it.join(q, "bucket").where(F.col("query_id") != F.col("item_id"))
     scored = joined.select(
         "query_id", "item_id",
-        F.round(cosine_expr("qvec", "ivec"), 6).alias("cosine"),
+        F.round(cosine_from_norms(F.col("qvec"), F.col("ivec"),
+                                  F.col("qn"), F.col("inorm")),
+                6).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("item_id"))
     return (

@@ -304,12 +304,27 @@ def cosine_expr(a: str | Column, b: str | Column) -> Column:
     (zip_with product + aggregate sums — sequential, deterministic)."""
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
+    return cosine_from_norms(a, b, vec_norm_expr(a), vec_norm_expr(b))
+
+
+def vec_norm_expr(v: str | Column) -> Column:
+    """L2 norm of an array<numeric> column — the exact norm
+    subexpression of ``cosine_expr``, exposed so PAIR producers can
+    compute it once per ROW instead of once per pair (r7, guide §2.3
+    applied to interpreted HOF cost: the higher-order-function lambdas
+    are evaluated per element per call, so hoisting both norms to the
+    row side cuts each pairwise cosine from 3 array passes to 1)."""
+    v = F.col(v) if isinstance(v, str) else v
+    return F.sqrt(F.aggregate(F.transform(v, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_from_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine given precomputed L2 norms. Bit-identical to
+    ``cosine_expr``: same dot expression, same guard, same division —
+    only WHERE the norms are evaluated moves."""
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                       F.lit(0.0), lambda acc, v: acc + v)
-    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
-                            F.lit(0.0), lambda acc, v: acc + v))
-    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x),
-                            F.lit(0.0), lambda acc, v: acc + v))
     return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
 
 
@@ -342,15 +357,20 @@ def embedding_cosine_pairs(
         sel = emb.select(F.col(id_col).alias("id"),
                          F.col(vec_col).alias("vec"),
                          F.col(block_col).cast("string").alias("block_key"))
-    keyed = salted_rekey(sel, max_block=max_block, salt_cap=salt_cap)
+    keyed = salted_rekey(sel, max_block=max_block, salt_cap=salt_cap) \
+        .withColumn("vn", vec_norm_expr("vec"))
     a = keyed.select(F.col("id").alias("id_a"),
-                     F.col("vec").alias("vec_a"), "block_key")
+                     F.col("vec").alias("vec_a"),
+                     F.col("vn").alias("vn_a"), "block_key")
     b = keyed.select(F.col("id").alias("id_b"),
-                     F.col("vec").alias("vec_b"), "block_key")
+                     F.col("vec").alias("vec_b"),
+                     F.col("vn").alias("vn_b"), "block_key")
     return (
         a.join(b, "block_key")
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b",
-                F.round(cosine_expr("vec_a", "vec_b"), 6).alias("cosine"))
+                F.round(cosine_from_norms(F.col("vec_a"), F.col("vec_b"),
+                                          F.col("vn_a"), F.col("vn_b")),
+                        6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
