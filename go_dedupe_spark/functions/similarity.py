@@ -190,6 +190,12 @@ def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(_jaro_winkler_batch(a, b))
 
 
+# r7 audit note: the score>=t filters above this UDF do NOT trigger the
+# guide-§4.4 duplication (verified — one ArrowEvalPython node, filter
+# evaluated above it), so no asNondeterministic() mark is needed here;
+# srp_bucket in operators/ann.py is the one that needed it.
+
+
 @pandas_udf(StructType([
     StructField("jw", DoubleType()),
     StructField("cos", DoubleType()),

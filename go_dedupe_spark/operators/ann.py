@@ -365,7 +365,13 @@ def make_srp_bucketer(dim: int, n_bits: int = 12):
         bits = (mat @ proj) > 0
         return pd.Series(bits @ weights)
 
-    return srp_bucket
+    # pure function, but its output is a JOIN KEY: the inferred
+    # isnotnull(bucket) constraint was pushed below the projection and
+    # duplicated the UDF on BOTH join sides — 6 ArrowEvalPython nodes
+    # for 2 logical calls, one of them below the parallelizing
+    # repartition (single-task full-corpus GEMM). asNondeterministic()
+    # forbids the duplication (guide §4.4); values unchanged.
+    return srp_bucket.asNondeterministic()
 
 
 def cosine_topk_lsh(
