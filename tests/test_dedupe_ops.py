@@ -214,3 +214,43 @@ def test_salted_rekey_shuffle_fallback(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_ngram_jaccard_pair_stage_stays_wide(spark):
+    """r7 regression lock: the candidate-pair repartition before the
+    jaccard join must STAY. A pair row is two bare ids (~16 B) while
+    its jaccard costs ~2x n_grams array ops, so AQE's size-based
+    coalescer would fold the tiny pair shuffle onto a handful of
+    partitions and serialize the most CPU-per-byte stage in the engine
+    (measured: removing it took the sf0.1 query from ~3.4s to ~13s).
+    The explicit exchange is visible as a REPARTITION_BY_NUM hash
+    partitioning on both pair ids."""
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with some shared text payload")
+         for i in range(40)], ["doc_id", "text"])
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2)], ["id_a", "id_b"])
+    out = ngram_jaccard_pairs(docs, pairs, "doc_id", "text",
+                              n=5, threshold=0.0)
+    plan = out._jdf.queryExecution().toString()
+    assert "REPARTITION_BY_NUM" in plan, plan
+    assert "hashpartitioning(id_a" in plan, plan
+
+
+def test_srp_bucketer_evaluates_once_per_side(spark):
+    """r7 regression lock: the SRP bucket is a join key, and without
+    the non-deterministic mark the inferred isnotnull(bucket)
+    constraint is pushed below the projection and DUPLICATES the
+    pandas UDF (one copy ran as a single-task full-corpus GEMM below
+    the parallelizing repartition). Exactly one ArrowEvalPython per
+    join side may appear in the physical plan."""
+    from go_dedupe_spark.operators.ann import cosine_topk_lsh
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 5) for j in range(8)])
+         for i in range(30)],
+        "vec_id long, embedding array<double>")
+    out = cosine_topk_lsh(emb, emb.where("vec_id < 2"), dim=8, k=3,
+                          n_bits=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 2, plan
